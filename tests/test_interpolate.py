@@ -1,0 +1,76 @@
+"""Tests for SPH-kernel scattered interpolation vs a direct numpy oracle
+(formula from reference gcn_lib/interpolation.py:92-123)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpugan_tpu.ops import bicubic_kernel, cubic_interpolation, linear_kernel
+
+
+def _bicubic_np(r, cutoff):
+    coeff = 8.0 / (np.pi * cutoff ** 3)
+    q = r / cutoff
+    ker = np.zeros_like(q)
+    m1 = (q >= 0) & (q <= 0.5)
+    ker[m1] = (6.0 * (q ** 3 - q ** 2) + 1.0)[m1]
+    m2 = (q > 0.5) & (q <= 1.0)
+    ker[m2] = (2.0 * (1.0 - q) ** 3)[m2]
+    return ker * coeff
+
+
+def test_bicubic_kernel_matches_reference_formula():
+    r = np.linspace(0, 0.2, 101).astype(np.float32)
+    cutoff = 0.1
+    got = np.asarray(bicubic_kernel(jnp.asarray(r), cutoff))
+    np.testing.assert_allclose(got, _bicubic_np(r, cutoff), rtol=1e-4, atol=1e-4)
+
+
+def test_linear_kernel():
+    r = np.array([0.0, 0.05, 0.1, 0.2], np.float32)
+    got = np.asarray(linear_kernel(jnp.asarray(r), 0.1))
+    np.testing.assert_allclose(got, [1.0, 0.5, 0.0, 0.0], atol=1e-6)
+
+
+def test_cubic_interpolation_matches_direct_sum(rng):
+    nq, nc, c = 40, 120, 3
+    cutoff = 0.5
+    q = rng.uniform(-1, 1, (nq, 3)).astype(np.float32)
+    p = rng.uniform(-1, 1, (nc, 3)).astype(np.float32)
+    f = rng.standard_normal((nc, c)).astype(np.float32)
+
+    got = np.asarray(cubic_interpolation(jnp.asarray(q), jnp.asarray(f),
+                                         jnp.asarray(p), cutoff))
+
+    d = np.sqrt(np.sum((q[:, None] - p[None]) ** 2, -1))
+    w = _bicubic_np(d, cutoff) * (d < cutoff)
+    # cap at 32 nearest in-range neighbors like the op / reference K=32
+    order = np.argsort(d, axis=1)
+    keep = np.zeros_like(w, dtype=bool)
+    for i in range(nq):
+        keep[i, order[i, :32]] = True
+    w = w * keep
+    want = (w @ f) / (w.sum(1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_cubic_interpolation_constant_field_reproduced(rng):
+    """Partition of unity up to normalization: constant fields interpolate
+    to the constant wherever a neighbor exists."""
+    p = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    f = np.ones((200, 2), np.float32) * 7.0
+    q = p[:50] + rng.standard_normal((50, 3)).astype(np.float32) * 0.01
+    got = np.asarray(cubic_interpolation(jnp.asarray(q), jnp.asarray(f),
+                                         jnp.asarray(p), 0.4))
+    np.testing.assert_allclose(got, 7.0, rtol=1e-3)
+
+
+def test_cubic_interpolation_batched(rng):
+    q = rng.uniform(-1, 1, (2, 16, 3)).astype(np.float32)
+    p = rng.uniform(-1, 1, (2, 64, 3)).astype(np.float32)
+    f = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    got = np.asarray(cubic_interpolation(jnp.asarray(q), jnp.asarray(f),
+                                         jnp.asarray(p), 0.6))
+    for b in range(2):
+        want = np.asarray(cubic_interpolation(jnp.asarray(q[b]), jnp.asarray(f[b]),
+                                              jnp.asarray(p[b]), 0.6))
+        np.testing.assert_allclose(got[b], want, rtol=1e-5)

@@ -1,0 +1,97 @@
+"""SPH-kernel-weighted scattered interpolation.
+
+TPU-native replacement for the reference's DGL-graph based
+``cubic_interpolation`` (reference gcn_lib/interpolation.py:16-123), used to
+transfer velocities from ground-truth particles onto upsampled particles
+(reference train_step_final.py:51-66). Instead of building per-sample DGL
+graphs, we run a batched radius-limited kNN and a kernel-weighted masked
+reduction over fixed-shape neighbor lists.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpugan_tpu.ops.neighbors import group, radius_mask_knn
+
+
+def exponential_kernel(r: jnp.ndarray, cutoff: float) -> jnp.ndarray:
+    """Gaussian SPH kernel (reference gcn_lib/interpolation.py:83-85)."""
+    coeff = 1.0 / np.sqrt(np.pi ** 3) * cutoff ** 3
+    return coeff * jnp.exp(-((r / cutoff) ** 2))
+
+
+def linear_kernel(r: jnp.ndarray, cutoff: float) -> jnp.ndarray:
+    """Tent kernel (reference gcn_lib/interpolation.py:88-89)."""
+    return jnp.maximum(1.0 - r / cutoff, 0.0)
+
+
+def bicubic_kernel(r: jnp.ndarray, cutoff: float) -> jnp.ndarray:
+    """Cubic B-spline SPH kernel (reference gcn_lib/interpolation.py:92-100).
+
+    Piecewise on q = r / cutoff:
+      q in [0, 0.5]:  6 (q^3 - q^2) + 1
+      q in (0.5, 1]:  2 (1 - q)^3
+      q > 1:          0
+    scaled by 8 / (pi cutoff^3).
+    """
+    coeff = 8.0 / (np.pi * cutoff ** 3)
+    q = r / cutoff
+    mid = 6.0 * (q ** 3 - q ** 2) + 1.0
+    outer = 2.0 * (1.0 - q) ** 3
+    ker = jnp.where(q <= 0.5, mid, jnp.where(q <= 1.0, outer, 0.0))
+    return jnp.where(q >= 0.0, ker, 0.0) * coeff
+
+
+def cubic_interpolation(
+    query_pos: jnp.ndarray,
+    field: jnp.ndarray,
+    pos: jnp.ndarray,
+    cutoff: float,
+    k: int = 32,
+    pos_valid: Optional[jnp.ndarray] = None,
+    kernel=bicubic_kernel,
+) -> jnp.ndarray:
+    """Interpolate a field sampled at ``pos`` onto ``query_pos``.
+
+    out[q] = sum_n w_qn field[n] / (sum_n w_qn + 1e-6) over the (up to) k
+    nearest in-cutoff neighbors n of q, with w the cubic-spline kernel of the
+    distance. Queries with no in-range neighbor produce a zero field — the
+    same outcome as the reference, whose kNN padding adds only
+    beyond-cutoff (zero-weight) edges (reference
+    gcn_lib/interpolation.py:44-60,119-122).
+
+    Args:
+      query_pos: [B, Nq, 3] (or [Nq, 3]).
+      field:     [B, Nc, C] (or [Nc, C]) values at ``pos``.
+      pos:       [B, Nc, 3] (or [Nc, 3]).
+    Returns:
+      [B, Nq, C] (or [Nq, C]) interpolated field.
+    """
+    if not (query_pos.ndim == field.ndim == pos.ndim):
+        raise ValueError(
+            "cubic_interpolation: query_pos, field and pos must all be "
+            f"batched [B, N, .] or all unbatched [N, .]; got ndims "
+            f"{query_pos.ndim}/{field.ndim}/{pos.ndim}"
+        )
+    squeeze = query_pos.ndim == 2
+    if squeeze:
+        query_pos = query_pos[None]
+        field = field[None]
+        pos = pos[None]
+        if pos_valid is not None:
+            pos_valid = pos_valid[None]
+
+    d2, idx, in_range = radius_mask_knn(
+        query_pos, pos, k=k, radius=cutoff, c_valid=pos_valid
+    )
+    r = jnp.sqrt(jnp.maximum(d2, 0.0))
+    w = jnp.where(in_range, kernel(r, cutoff), 0.0)            # [B, Nq, k]
+    neighbor_field = group(field, idx)                          # [B, Nq, k, C]
+    num = jnp.einsum("bqk,bqkc->bqc", w, neighbor_field)
+    den = jnp.sum(w, axis=-1, keepdims=True) + 1e-6
+    out = num / den
+    return out[0] if squeeze else out

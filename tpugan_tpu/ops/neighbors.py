@@ -1,0 +1,353 @@
+"""Neighbor-search and grouping ops on padded point batches.
+
+Design notes (TPU-first):
+
+* Pairwise squared distances are computed as ``|q|^2 + |c|^2 - 2 q.c^T`` so
+  the O(Nq*Nc*3) inner product runs on the MXU as a batched matmul instead of
+  a broadcasted subtract (which would be VPU-bound and 3x the HBM traffic).
+* Everything is fixed-shape. Ragged neighborhoods are expressed as top-k over
+  masked distance rows; invalid candidates get +BIG distance so they are
+  never selected. This is the padded-tensor equivalent of the reference's
+  ``-1``-padded FRNN output (reference gcn_lib/pointnet/gcn.py:25-45).
+* A key identity exploited throughout: the reference's
+  ``ball_query(..., knn_padding=True)`` / ``ball_query_wrapper`` (reference
+  gcn_lib/pointnet/gcn.py:25-45, discriminator.py:24-40) is exactly plain
+  kNN: FRNN returns the K nearest neighbors *within radius* sorted by
+  distance, which is a prefix of the global kNN list, and the kNN padding
+  fills the remaining slots with precisely the global kNN entries. So one
+  kNN kernel serves EdgeConv, FlowEmbedding and the loss queries.
+* ``ball_query`` here reproduces the *index-order* semantics of
+  pointnet2_ops' CUDA ball_query used inside ``QueryAndGroup`` (reference
+  discriminator.py:190-192): first ``nsample`` candidates in index order
+  whose distance is < radius, padded by repeating the first found (all zeros
+  when nothing is in range).
+
+For query counts above ``_CHUNK`` the [Nq, Nc] distance tile is never fully
+materialized; we map over query chunks, which keeps peak memory at
+``B * _CHUNK * Nc`` while XLA pipelines the chunk loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(1e10)
+
+# Query-chunk size for memory-bounded neighbor searches. 2048 query rows
+# against 16k candidates is a 128 MB f32 tile per batch element at most.
+_CHUNK = 2048
+
+
+def pairwise_sqdist(query: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distance between every query and candidate point.
+
+    Args:
+      query: [..., Nq, D]
+      cand:  [..., Nc, D]
+    Returns:
+      [..., Nq, Nc] squared distances (clamped at 0 for numerical safety).
+    """
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)          # [..., Nq, 1]
+    c2 = jnp.sum(cand * cand, axis=-1, keepdims=True)            # [..., Nc, 1]
+    # MXU path: batched [Nq, D] x [D, Nc]. Precision must be HIGHEST: the
+    # TPU default runs matmuls through bf16 passes, and ~1e-2 distance error
+    # flips nearest-neighbor selections.
+    cross = jnp.einsum(
+        "...qd,...cd->...qc",
+        query,
+        cand,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = q2 + jnp.swapaxes(c2, -1, -2) - 2.0 * cross
+    return jnp.maximum(d2, 0.0)
+
+
+def _masked_sqdist(
+    query: jnp.ndarray,
+    cand: jnp.ndarray,
+    c_valid: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    d2 = pairwise_sqdist(query, cand)
+    if c_valid is not None:
+        d2 = jnp.where(c_valid[..., None, :], d2, BIG)
+    return d2
+
+
+def _chunked_query(fn, query: jnp.ndarray, chunk: int):
+    """Apply ``fn(q_chunk) -> pytree`` over query-axis chunks of ``query``.
+
+    query: [B, Nq, D]. Pads Nq up to a multiple of ``chunk`` (with zeros) and
+    slices results back. fn must be shape-polymorphic only in static ways.
+    """
+    b, nq, d = query.shape
+    if nq <= chunk:
+        return fn(query)
+    pad = (-nq) % chunk
+    qp = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
+    qc = qp.reshape(b, -1, chunk, d).swapaxes(0, 1)  # [nchunks, B, chunk, D]
+    out = jax.lax.map(fn, qc)  # pytree of [nchunks, B, chunk, ...]
+    def _restore(x):
+        x = jnp.moveaxis(x, 0, 1)  # [B, nchunks, chunk, ...]
+        x = x.reshape((b, nq + pad) + x.shape[3:])
+        return x[:, :nq]
+    return jax.tree_util.tree_map(_restore, out)
+
+
+def knn(
+    query: jnp.ndarray,
+    cand: Optional[jnp.ndarray] = None,
+    k: int = 16,
+    c_valid: Optional[jnp.ndarray] = None,
+    chunk: int = _CHUNK,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-nearest-neighbors, sorted ascending by distance.
+
+    Equivalent of pytorch3d ``knn_points`` (reference
+    gcn_lib/pointnet/gcn.py:13-22) and — per the identity documented in the
+    module docstring — of the reference's kNN-padded ball queries.
+
+    Args:
+      query: [B, Nq, D]
+      cand:  [B, Nc, D]; defaults to ``query`` (self-kNN includes self at
+        distance 0, matching knn_points).
+      k: number of neighbors.
+      c_valid: optional [B, Nc] bool; invalid candidates are never selected.
+    Returns:
+      (sqdist [B, Nq, k], idx [B, Nq, k] int32)
+    """
+    if cand is None:
+        cand = query
+
+    def one_chunk(q):
+        d2 = _masked_sqdist(q, cand, c_valid)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx.astype(jnp.int32)
+
+    return _chunked_query(one_chunk, query, chunk)
+
+
+def radius_mask_knn(
+    query: jnp.ndarray,
+    cand: Optional[jnp.ndarray] = None,
+    k: int = 16,
+    radius: float = 0.1,
+    c_valid: Optional[jnp.ndarray] = None,
+    chunk: int = _CHUNK,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """kNN restricted to a radius: the padded-tensor analog of FRNN's
+    ``frnn_grid_points`` with ``-1`` padding (reference loss.py:105,142,229).
+
+    Returns (sqdist, idx, in_range) where ``in_range[b, q, j]`` is True iff
+    neighbor j is a real within-radius neighbor. Out-of-range slots keep the
+    global-kNN index (callers that need the reference's -1 should use
+    ``jnp.where(in_range, idx, -1)``); distances for such slots are the true
+    kNN distances.
+    """
+    d2, idx = knn(query, cand, k, c_valid=c_valid, chunk=chunk)
+    in_range = d2 < jnp.float32(radius) ** 2
+    return d2, idx, in_range
+
+
+def ball_query(
+    query: jnp.ndarray,
+    cand: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    c_valid: Optional[jnp.ndarray] = None,
+    chunk: int = _CHUNK,
+) -> jnp.ndarray:
+    """pointnet2_ops-style ball query: first ``nsample`` candidates *in index
+    order* with squared distance < radius^2; slots with no hit repeat the
+    first found index (0 if the ball is empty). Reference call sites:
+    ``QueryAndGroup`` inside every set-abstraction module
+    (discriminator.py:141,190-192).
+
+    Returns idx [B, Nq, nsample] int32.
+    """
+    nc = cand.shape[-2]
+    r2 = jnp.float32(radius) ** 2
+
+    def one_chunk(q):
+        d2 = pairwise_sqdist(q, cand)
+        within = d2 < r2
+        if c_valid is not None:
+            within = within & c_valid[..., None, :]
+        # key = candidate index when within, else BIG; k smallest keys are the
+        # first nsample hits in index order.
+        iota = jax.lax.broadcasted_iota(jnp.int32, within.shape, within.ndim - 1)
+        key = jnp.where(within, iota, jnp.int32(nc + 1))
+        neg_key, _ = jax.lax.top_k(-key, nsample)
+        idx = -neg_key  # ascending candidate indices; nc+1 marks "no hit"
+        found = idx <= nc - 1
+        first = jnp.where(found[..., :1], idx[..., :1], 0)
+        return jnp.where(found, idx, first).astype(jnp.int32)
+
+    return _chunked_query(one_chunk, query, chunk)
+
+
+def fps(
+    pos: jnp.ndarray,
+    npoint: int,
+    valid: Optional[jnp.ndarray] = None,
+    start_idx: int = 0,
+) -> jnp.ndarray:
+    """Iterative farthest point sampling over a padded batch.
+
+    Equivalent of pointnet2_ops ``furthest_point_sample`` (reference
+    discriminator.py:114) which always starts from index 0. With ``valid``,
+    invalid/dummy points are never selected — the deterministic, fixed-shape
+    replacement for the reference's random dummy-resampling loop
+    (discriminator.py:116-130).
+
+    Sequential by nature: ``npoint`` rounds of (distance update, argmax) over
+    a [B, N] min-distance state via fori_loop. This is the known TPU
+    throughput ceiling for the discriminator path (SURVEY.md §7 hard part 1);
+    keep npoint modest (<=2k) or sample host-side in the input pipeline.
+
+    Returns idx [B, npoint] int32.
+    """
+    b, n, _ = pos.shape
+    if valid is None:
+        sel_penalty = jnp.zeros((b, n), dtype=jnp.float32)
+    else:
+        # Invalid points get -BIG min-distance so argmax never picks them.
+        sel_penalty = jnp.where(valid, 0.0, -BIG)
+
+    start = jnp.full((b,), start_idx, dtype=jnp.int32)
+    if valid is not None:
+        # If start_idx happens to be invalid for some batch row, move to the
+        # first valid index.
+        first_valid = jnp.argmax(valid, axis=-1).astype(jnp.int32)
+        start_ok = jnp.take_along_axis(valid, start[:, None], axis=1)[:, 0]
+        start = jnp.where(start_ok, start, first_valid)
+
+    idx0 = start
+    sel0 = jnp.take_along_axis(pos, idx0[:, None, None], axis=1)  # [B,1,3]
+    mind = jnp.sum((pos - sel0) ** 2, axis=-1) + sel_penalty       # [B,N]
+
+    idx_buf = jnp.zeros((b, npoint), dtype=jnp.int32).at[:, 0].set(idx0)
+
+    def body(i, carry):
+        idx_buf, mind = carry
+        nxt = jnp.argmax(mind, axis=-1).astype(jnp.int32)          # [B]
+        idx_buf = idx_buf.at[:, i].set(nxt)
+        sel = jnp.take_along_axis(pos, nxt[:, None, None], axis=1)  # [B,1,3]
+        d = jnp.sum((pos - sel) ** 2, axis=-1) + sel_penalty
+        mind = jnp.minimum(mind, d)
+        return idx_buf, mind
+
+    idx_buf, _ = jax.lax.fori_loop(1, npoint, body, (idx_buf, mind))
+    return idx_buf
+
+
+def gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched index gather: points [B, N, C], idx [B, M] -> [B, M, C].
+
+    Equivalent of pointnet2_ops ``gather_operation`` / the reference's
+    ``index_points`` (discriminator.py:43-60) in channels-last layout.
+    """
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Neighborhood gather: points [B, N, C], idx [B, M, K] -> [B, M, K, C].
+
+    Equivalent of pointnet2_ops ``grouping_operation`` (reference
+    gcn_lib/pointnet/gcn.py:207) in channels-last layout.
+    """
+    b, m, k = idx.shape
+    flat = gather(points, idx.reshape(b, m * k))
+    return flat.reshape(b, m, k, points.shape[-1])
+
+
+def query_and_group(
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    features: Optional[jnp.ndarray],
+    radius: float,
+    nsample: int,
+    use_xyz: bool = True,
+    c_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fused ball query + grouping + relative-coordinate concat.
+
+    Equivalent of pointnet2_ops ``QueryAndGroup`` (reference
+    discriminator.py:190): groups ``nsample`` in-ball neighbors of each
+    ``new_xyz`` center, recenters their coordinates, and concatenates grouped
+    features.
+
+    Args:
+      xyz:      [B, N, 3] candidate coordinates.
+      new_xyz:  [B, M, 3] query centers.
+      features: [B, N, C] per-candidate features or None.
+    Returns:
+      [B, M, nsample, 3 + C] (or [B, M, nsample, C] when use_xyz=False;
+      [B, M, nsample, 3] when features is None).
+    """
+    idx = ball_query(new_xyz, xyz, radius, nsample, c_valid=c_valid)
+    grouped_xyz = group(xyz, idx) - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped_feat = group(features, idx)
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+        return grouped_feat
+    assert use_xyz, "Cannot have not features and not use xyz as a feature!"
+    return grouped_xyz
+
+
+def group_all(
+    xyz: jnp.ndarray,
+    features: Optional[jnp.ndarray],
+    use_xyz: bool = True,
+) -> jnp.ndarray:
+    """Equivalent of pointnet2_ops ``GroupAll`` (reference
+    discriminator.py:192): one group containing every point.
+
+    Returns [B, 1, N, 3 + C].
+    """
+    grouped_xyz = xyz[:, None, :, :]
+    if features is not None:
+        grouped_feat = features[:, None, :, :]
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+        return grouped_feat
+    return grouped_xyz
+
+
+def radius_count(
+    query: jnp.ndarray,
+    cand: jnp.ndarray,
+    radius: float,
+    cap: Optional[int] = None,
+    c_valid: Optional[jnp.ndarray] = None,
+    include_self: bool = True,
+    chunk: int = _CHUNK,
+) -> jnp.ndarray:
+    """Count candidates within ``radius`` of each query point.
+
+    Replaces the reference's FRNN-based neighbor counting (masking loss,
+    loss.py:261-267; free-surface detection, train_utils.py:269-272). With
+    ``cap`` the count saturates at ``cap`` to mirror a K-limited FRNN query.
+
+    Returns counts [B, Nq] int32.
+    """
+    r2 = jnp.float32(radius) ** 2
+
+    def one_chunk(q):
+        d2 = pairwise_sqdist(q, cand)
+        within = d2 < r2
+        if not include_self:
+            within = within & (d2 > 1e-12)
+        if c_valid is not None:
+            within = within & c_valid[..., None, :]
+        cnt = jnp.sum(within.astype(jnp.int32), axis=-1)
+        if cap is not None:
+            cnt = jnp.minimum(cnt, cap)
+        return cnt
+
+    return _chunked_query(one_chunk, query, chunk)
