@@ -1,0 +1,204 @@
+"""Forward-pass tests for nn modules and models on tiny synthetic clouds
+(SURVEY.md §4c): shapes, finiteness, mask protocol, mutable-state handling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpugan_tpu.models import (
+    ActionCls,
+    ActionSpatialDis,
+    ActionTempoDis,
+    FluidSpatialDis,
+    FluidTempoDis,
+    NoMaskSRNet,
+    SRNet,
+    transfer_feature_extractor,
+)
+from tpugan_tpu.models.generator import (
+    RolloutMaskState,
+    expand_pos,
+    expand_pos_with_masking,
+    rollout_mask_update,
+)
+from tpugan_tpu.nn import EdgeConv, FlowModule, SetConv
+
+
+def _cloud(rng, b=2, n=64):
+    return jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32) * 0.3)
+
+
+def test_edgeconv_shapes(rng):
+    x = _cloud(rng)
+    m = EdgeConv(32, k=8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 64, 32)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_edgeconv_dilation_param_count_independent(rng):
+    x = _cloud(rng)
+    v1 = EdgeConv(32, k=8, dilation=1).init(jax.random.PRNGKey(0), x)
+    v2 = EdgeConv(32, k=8, dilation=2).init(jax.random.PRNGKey(0), x)
+    n1 = sum(a.size for a in jax.tree_util.tree_leaves(v1))
+    n2 = sum(a.size for a in jax.tree_util.tree_leaves(v2))
+    assert n1 == n2
+
+
+def test_setconv_downsamples_and_masks(rng):
+    pos = _cloud(rng, b=1, n=128)
+    # park half the points at the sentinel
+    pos = pos.at[:, 64:].set(999.0)
+    valid = jnp.arange(128)[None] < 64
+    m = SetConv.ssg([16, 32], npoint=16, radius=0.5, nsample=8,
+                    mask_dummy=True, spectral_norm=False)
+    v = m.init(jax.random.PRNGKey(0), pos, pos, valid, True)
+    (new_xyz, feat), _ = m.apply(v, pos, pos, valid, True,
+                                 mutable=["batch_stats"])
+    assert new_xyz.shape == (1, 16, 3)
+    assert feat.shape == (1, 16, 32)
+    # FPS must never have picked a dummy center
+    assert np.all(np.abs(np.asarray(new_xyz)) < 100)
+
+
+def test_setconv_group_all(rng):
+    pos = _cloud(rng, b=2, n=32)
+    feat = jnp.ones((2, 32, 8))
+    m = SetConv.ssg([16, 16], spectral_norm=False, bn=False)
+    v = m.init(jax.random.PRNGKey(0), pos, feat)
+    _, out = m.apply(v, pos, feat)
+    assert out.shape == (2, 1, 16)
+
+
+def test_expand_pos_layout():
+    pos = jnp.asarray(np.arange(6, dtype=np.float32).reshape(1, 2, 3))
+    edge = jnp.zeros((1, 2, 12))  # r=4
+    out = expand_pos(pos, edge, 4)
+    assert out.shape == (1, 8, 3)
+    # copies of point i occupy slots i*r..i*r+r-1
+    np.testing.assert_array_equal(np.asarray(out[0, :4]), np.tile([0, 1, 2], (4, 1)))
+    np.testing.assert_array_equal(np.asarray(out[0, 4:]), np.tile([3, 4, 5], (4, 1)))
+
+
+def test_expand_pos_with_masking_sentinel_protocol():
+    pos = jnp.zeros((1, 3, 3))
+    edge = jnp.ones((1, 3, 6))  # r=2
+    mask = jnp.asarray([[0.5, 0.0, 0.2]])  # point 1 masked out
+    expanded, padded, valid = expand_pos_with_masking(pos, edge, mask, 2)
+    v = np.asarray(valid)[0]
+    # copy 0 always kept; masked point keeps only copy 0
+    np.testing.assert_array_equal(v, [1, 1, 1, 0, 1, 1])
+    p = np.asarray(padded)[0]
+    assert np.all(p[3] == 999.0)
+    # masked point's offsets zeroed -> its kept copy sits at pos
+    np.testing.assert_array_equal(p[2], [0, 0, 0])
+    # unmasked point's copies offset by edge
+    np.testing.assert_array_equal(p[0], [1, 1, 1])
+
+
+def test_srnet_forward(rng):
+    b, n, r = 1, 48, 4
+    pos = _cloud(rng, b, n)
+    model = SRNet(in_feats=3, node_emb_dim=32, upsample_ratio=r)
+    v = model.init(jax.random.PRNGKey(0), pos, pos, False)
+    expanded, mask, padded, valid = model.apply(v, pos, pos, False)
+    assert expanded.shape == (b, n * r, 3)
+    assert mask.shape == (b, n)
+    assert padded.shape == (b, n * r, 3)
+    assert valid.shape == (b, n * r)
+    assert np.all(np.isfinite(np.asarray(expanded)))
+    # every r-th slot valid (copy 0 of each point)
+    assert np.all(np.asarray(valid)[:, ::r])
+
+
+def test_srnet_velocity_features(rng):
+    pos = _cloud(rng, 1, 32)
+    feat = jnp.concatenate([pos, 0.025 * _cloud(rng, 1, 32)], axis=-1)
+    model = SRNet(in_feats=6, node_emb_dim=32, upsample_ratio=2)
+    v = model.init(jax.random.PRNGKey(0), feat, pos, False)
+    expanded, *_ = model.apply(v, feat, pos, False)
+    assert expanded.shape == (1, 64, 3)
+
+
+def test_nomask_srnet(rng):
+    pos = _cloud(rng, 2, 32)
+    model = NoMaskSRNet(in_feats=3, node_emb_dim=32, upsample_ratio=4)
+    v = model.init(jax.random.PRNGKey(0), pos, pos, False)
+    out, edge = model.apply(v, pos, pos, False)
+    assert out.shape == (2, 128, 3)
+    assert edge.shape == (2, 128, 3)
+
+
+def test_rollout_mask_history():
+    st = RolloutMaskState.create(1, 4, history=3)
+    m1 = jnp.asarray([[0.7, 0.1, 0.65, 0.6]])
+    mean, st = rollout_mask_update(st, m1)
+    # clamp: >0.6 -> 0.6, <0.6 -> 0, ==0.6 stays
+    np.testing.assert_allclose(np.asarray(mean)[0], [0.6, 0.0, 0.6, 0.6])
+    m2 = jnp.zeros((1, 4))
+    mean, st = rollout_mask_update(st, m2)
+    np.testing.assert_allclose(np.asarray(mean)[0], [0.3, 0.0, 0.3, 0.3])
+    # ring saturates at history
+    for _ in range(5):
+        mean, st = rollout_mask_update(st, m2)
+    assert int(st.count) == 3
+    np.testing.assert_allclose(np.asarray(mean)[0], 0.0)
+
+
+@pytest.mark.parametrize("cls,needs_seq", [
+    (FluidSpatialDis, False),
+    (ActionSpatialDis, False),
+])
+def test_spatial_discriminators(rng, cls, needs_seq):
+    pos = _cloud(rng, 2, 1200) if cls is FluidSpatialDis else _cloud(rng, 2, 600)
+    model = cls()
+    key = jax.random.PRNGKey(0)
+    v = model.init({"params": key, "dropout": key}, pos, None, True)
+    out, _ = model.apply(v, pos, None, True, mutable=["batch_stats"],
+                         rngs={"dropout": key})
+    assert out.shape == (2, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fluid_tempo_dis_window(rng):
+    seq = [_cloud(rng, 2, 1100) for _ in range(3)]
+    model = FluidTempoDis(3)
+    key = jax.random.PRNGKey(0)
+    v = model.init({"params": key, "dropout": key}, seq, 0.1, None, None, True)
+    out, _ = model.apply(v, seq, 0.1, None, None, True,
+                         mutable=["batch_stats"], rngs={"dropout": key})
+    assert out.shape == (2, 1)
+
+
+def test_fluid_tempo_dis_with_velocity_features(rng):
+    seq = [_cloud(rng, 1, 1100) for _ in range(3)]
+    feats = [_cloud(rng, 1, 1100) for _ in range(3)]
+    model = FluidTempoDis(3)
+    key = jax.random.PRNGKey(0)
+    v = model.init({"params": key, "dropout": key}, seq, 0.1, feats, None, True)
+    out, _ = model.apply(v, seq, 0.1, feats, None, True,
+                         mutable=["batch_stats"], rngs={"dropout": key})
+    assert out.shape == (1, 1)
+
+
+def test_action_tempo_dis_and_cls_transfer(rng):
+    seq = [_cloud(rng, 2, 600) for _ in range(3)]
+    key = jax.random.PRNGKey(0)
+    dis = ActionTempoDis(3)
+    vd = dis.init({"params": key, "dropout": key}, seq, 2.0, None, True)
+    out, _ = dis.apply(vd, seq, 2.0, None, True, mutable=["batch_stats"],
+                       rngs={"dropout": key})
+    assert out.shape == (2, 1)
+
+    cls = ActionCls(3)
+    vc = cls.init({"params": key, "dropout": key}, seq, 2.0, True)
+    vc2 = transfer_feature_extractor(vc, vd)
+    # sa towers must now match the discriminator's weights
+    a = jax.tree_util.tree_leaves(vc2["params"]["tower"]["sa1"])
+    b = jax.tree_util.tree_leaves(vd["params"]["tower"]["sa1"])
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    logits, _ = cls.apply(vc2, seq, 2.0, True, mutable=["batch_stats"],
+                          rngs={"dropout": key})
+    assert logits.shape == (2, 20)

@@ -1,0 +1,254 @@
+"""Upsampling generators: SRNet (with binary masking head) and NoMaskSRNet.
+
+Equivalents of the reference's upsampling_network.py. Shapes are
+channels-last throughout; the point-expansion layout matches the reference
+exactly (copies of input point i occupy output slots i*r .. i*r + r - 1,
+upsampling_network.py:136-138), and pruned points are parked at the 999
+sentinel with an accompanying boolean mask instead of the reference's
+variable-size squeeze (upsampling_network.py:140-155) so every shape stays
+static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpugan_tpu import PAD_SENTINEL
+from tpugan_tpu.nn.edgeconv import EdgeConv, IDGCNLayer
+from tpugan_tpu.nn.layers import ConvLayer, SharedMLP
+
+
+class GCNFeatureExtractor(nn.Module):
+    """EdgeConv + stacked Inception-DenseGCN feature extractor (reference
+    upsampling_network.py:7-41). Returns the concatenation of every
+    IDGCN layer's output: [B, N, (layer_num-1) * dim]."""
+
+    layer_num: int
+    node_emb_dim: int = 128
+    out_dim: int = 128
+
+    @nn.compact
+    def __call__(
+        self,
+        feature: jnp.ndarray,              # [B, N, C_in]
+        pos: Optional[jnp.ndarray] = None,  # graph by pos when C_in > 3
+        train: bool = True,
+    ) -> jnp.ndarray:
+        x = EdgeConv(self.node_emb_dim, k=20, mlp_layer=True)(
+            feature, pos=pos, train=train
+        )
+        outs = []
+        for l in range(1, self.layer_num):
+            out_dim = self.out_dim if l == self.layer_num - 1 else self.node_emb_dim
+            x = IDGCNLayer(out_dim, residual=True)(x, train=train)
+            outs.append(x)
+        return jnp.concatenate(outs, axis=-1)
+
+
+class UpsamplingModule(nn.Module):
+    """Feature-expansion head predicting r offset vectors per point
+    (reference upsampling_network.py:44-74): two (bottleneck conv, EdgeConv)
+    stages with k=12 then k=4, then a norm-free shared-MLP decoder and a
+    final biased projection to 3*r."""
+
+    upsample_ratio: int
+    gcn_layer: int = 2
+
+    @nn.compact
+    def __call__(self, feature: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        in_dim = feature.shape[-1]
+        out_dim = 3 * self.upsample_ratio
+        for l in range(self.gcn_layer):
+            k = 4 if l == self.gcn_layer - 1 else 12
+            feature = ConvLayer(in_dim // 4, act=None)(feature, train=train)
+            feature = EdgeConv(in_dim, k=k, aggregate="max", mlp_layer=True)(
+                feature, train=train
+            )
+        feature = SharedMLP([out_dim // 2, out_dim])(feature, train=train)
+        feature = nn.Dense(out_dim, use_bias=True)(feature)
+        return feature                                    # [B, N, 3r]
+
+
+class BinaryMaskingModule(nn.Module):
+    """Per-point keep-probability head (reference
+    upsampling_network.py:77-104): like the upsampling head but the second
+    EdgeConv uses sum aggregation without the inner MLP, and the decoder
+    ends in a ReLU scalar."""
+
+    gcn_layer: int = 2
+
+    @nn.compact
+    def __call__(self, feature: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        in_dim = feature.shape[-1]
+        for l in range(self.gcn_layer):
+            feature = ConvLayer(in_dim // 4, act=None)(feature, train=train)
+            if l != self.gcn_layer - 1:
+                feature = EdgeConv(in_dim, k=12, aggregate="max", mlp_layer=True)(
+                    feature, train=train
+                )
+            else:
+                feature = EdgeConv(in_dim, k=8, aggregate="sum", mlp_layer=False)(
+                    feature, train=train
+                )
+        feature = SharedMLP([in_dim // 2, in_dim // 4])(feature, train=train)
+        feature = nn.Dense(1, use_bias=True)(feature)
+        return nn.relu(feature)[..., 0]                   # [B, N]
+
+
+def expand_pos(pos: jnp.ndarray, edge: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Duplicate each point r times and add its r offset vectors.
+
+    Layout identical to the reference (upsampling_network.py:136-138):
+    output slot i*r + j is copy j of input point i.
+    pos: [B, N, 3], edge: [B, N, 3r] -> [B, N*r, 3].
+    """
+    b, n, _ = pos.shape
+    dup = jnp.repeat(pos, r, axis=1)                       # [B, N*r, 3]
+    return dup + edge.reshape(b, n * r, 3)
+
+
+def expand_pos_with_masking(
+    pos: jnp.ndarray,
+    edge: jnp.ndarray,
+    mask: jnp.ndarray,
+    r: int,
+    epsilon: float = 0.01,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Masked expansion (reference upsampling_network.py:131-157).
+
+    The mask is binarized at ``epsilon`` under stop-gradient; masked points'
+    offsets are zeroed (so all r copies collapse onto the input point), and
+    the hard mask keeps copy 0 of every point unconditionally. Instead of
+    the reference's dynamic-shape squeeze, pruned copies are parked at the
+    999 sentinel and reported through ``valid``.
+
+    Returns (expanded [B, N*r, 3], padded [B, N*r, 3], valid [B, N*r]).
+    """
+    b, n, _ = pos.shape
+    gate = (jax.lax.stop_gradient(mask) > epsilon)[..., None]    # [B, N, 1]
+    edge = edge * gate.astype(edge.dtype)
+    expanded = expand_pos(pos, edge, r)
+
+    hard = jnp.broadcast_to(gate, (b, n, r))
+    hard = hard.at[:, :, 0].set(True)
+    valid = hard.reshape(b, n * r)
+    padded = jnp.where(valid[..., None], expanded, PAD_SENTINEL)
+    return expanded, padded, valid
+
+
+class SRNet(nn.Module):
+    """Masked upsampling generator (reference upsampling_network.py:108-185).
+
+    __call__ returns (expanded_pos, mask, padded_pos, valid):
+      expanded_pos — all N*r candidate points (masked offsets zeroed),
+      mask         — raw keep-probabilities [B, N],
+      padded_pos   — hard-masked cloud, pruned copies at the 999 sentinel,
+      valid        — boolean keep mask over the N*r slots.
+    """
+
+    in_feats: int
+    node_emb_dim: int = 128
+    upsample_ratio: int = 8
+    feature_extractor_depth: int = 3
+    epsilon: float = 0.01
+
+    def setup(self):
+        self.feature_extractor = GCNFeatureExtractor(
+            layer_num=self.feature_extractor_depth,
+            node_emb_dim=self.node_emb_dim,
+            out_dim=self.node_emb_dim,
+        )
+        self.upsampling_block = UpsamplingModule(self.upsample_ratio)
+        self.filter_block = BinaryMaskingModule()
+
+    def __call__(
+        self,
+        feature: jnp.ndarray,
+        pos: jnp.ndarray,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        graph_pos = pos if self.in_feats > 3 else None
+        encoding = self.feature_extractor(feature, pos=graph_pos, train=train)
+        edge = self.upsampling_block(encoding, train=train)
+        mask = self.filter_block(encoding, train=train)
+        expanded, padded, valid = expand_pos_with_masking(
+            pos, edge, mask, self.upsample_ratio, self.epsilon
+        )
+        return expanded, mask, padded, valid
+
+    def heads(self, feature, pos, train: bool = False):
+        """Raw (edge, mask) heads, used by the rollout path."""
+        graph_pos = pos if self.in_feats > 3 else None
+        encoding = self.feature_extractor(feature, pos=graph_pos, train=train)
+        return (
+            self.upsampling_block(encoding, train=train),
+            self.filter_block(encoding, train=train),
+        )
+
+
+class RolloutMaskState(NamedTuple):
+    """Fixed-shape ring buffer for the rollout's 25-frame mask-history
+    average (reference upsampling_network.py:159-174)."""
+
+    buffer: jnp.ndarray  # [H, B, N]
+    count: jnp.ndarray   # [] int32 — frames seen (saturates at H)
+    ptr: jnp.ndarray     # [] int32 — next write slot
+
+    @classmethod
+    def create(cls, batch: int, n: int, history: int = 25):
+        return cls(
+            buffer=jnp.zeros((history, batch, n), jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+            ptr=jnp.zeros((), jnp.int32),
+        )
+
+
+def rollout_mask_update(
+    state: RolloutMaskState, mask: jnp.ndarray
+) -> Tuple[jnp.ndarray, RolloutMaskState]:
+    """Clamp the mask like the reference rollout (values < 0.6 -> 0,
+    values > 0.6 -> 0.6; upsampling_network.py:164-165), push it into the
+    history ring, and return the running mean over observed frames."""
+    h = state.buffer.shape[0]
+    clamped = jnp.where(mask < 0.6, 0.0, jnp.where(mask > 0.6, 0.6, mask))
+    buffer = jax.lax.dynamic_update_index_in_dim(
+        state.buffer, clamped, state.ptr, axis=0
+    )
+    count = jnp.minimum(state.count + 1, h)
+    ptr = (state.ptr + 1) % h
+    mean = jnp.sum(buffer, axis=0) / count.astype(jnp.float32)
+    return mean, RolloutMaskState(buffer, count, ptr)
+
+
+class NoMaskSRNet(nn.Module):
+    """Unmasked generator for the action workload (reference
+    upsampling_network.py:189-223). Returns (expanded_pos, edge)."""
+
+    in_feats: int
+    node_emb_dim: int = 128
+    upsample_ratio: int = 8
+    feature_extractor_depth: int = 3
+
+    def setup(self):
+        self.feature_extractor = GCNFeatureExtractor(
+            layer_num=self.feature_extractor_depth,
+            node_emb_dim=self.node_emb_dim,
+            out_dim=self.node_emb_dim,
+        )
+        self.upsampling_block = UpsamplingModule(self.upsample_ratio)
+
+    def __call__(
+        self, feature: jnp.ndarray, pos: jnp.ndarray, train: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if feature.ndim == 2:
+            feature = feature[None]
+        if pos.ndim == 2:
+            pos = pos[None]
+        encoding = self.feature_extractor(feature, train=train)
+        edge = self.upsampling_block(encoding, train=train)
+        out = expand_pos(pos, edge, self.upsample_ratio)
+        return out, edge.reshape(out.shape[0], -1, 3)

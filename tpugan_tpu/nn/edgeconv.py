@@ -1,0 +1,121 @@
+"""EdgeConv and Inception-DenseGCN layers (PU-GCN style).
+
+Equivalents of the reference's batched-tensor GNN flavor
+(gcn_lib/pointnet/gcn.py:150-279). The kNN graph is rebuilt on every call
+from feature or coordinate space, exactly like the reference; the
+graph-build + gather + affine + aggregate chain is expressed so XLA fuses
+the elementwise work into the surrounding matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpugan_tpu.nn.layers import ConvLayer, SharedMLP, leaky_relu_02
+from tpugan_tpu.ops.neighbors import group, knn
+
+
+def _aggregate(y: jnp.ndarray, mode: str) -> jnp.ndarray:
+    # y: [B, N, K, C] -> [B, N, C]
+    if mode == "max":
+        return jnp.max(y, axis=2)
+    if mode == "sum":
+        return jnp.sum(y, axis=2)
+    if mode == "min":
+        return jnp.min(y, axis=2)
+    if mode == "mean":
+        return jnp.mean(y, axis=2)
+    raise ValueError(f"Unsupported aggregation mode {mode}")
+
+
+class EdgeConv(nn.Module):
+    """Dynamic-graph edge convolution (reference
+    gcn_lib/pointnet/gcn.py:150-212).
+
+    For each point: gather k (dilated) nearest neighbors (by ``pos`` when
+    given, else by feature distance), form edge features (neighbor - center),
+    apply node/edge affines, a shared MLP, and aggregate over neighbors.
+    """
+
+    out_features: int
+    k: int = 9
+    dilation: int = 1
+    mlp_layer: bool = True
+    aggregate: str = "max"
+    norm: str = "none"
+    spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        feat: jnp.ndarray,                 # [B, N, C]
+        pos: Optional[jnp.ndarray] = None,  # [B, N, 3]
+        train: bool = True,
+    ) -> jnp.ndarray:
+        graph_src = pos if pos is not None else feat
+        # dilated kNN: k neighbors, stride `dilation` (reference Dilated,
+        # gcn_lib/pointnet/gcn.py:48-72; stochastic mode unused by models)
+        _, idx = knn(graph_src, k=self.k)
+        idx = idx[:, :, :: self.dilation]
+
+        neighbor = group(feat, idx)                 # [B, N, k', C]
+        center = feat[:, :, None, :]
+        edge = neighbor - center
+
+        half = self.out_features // 2
+        node_affine = ConvLayer(half, act=leaky_relu_02, norm=self.norm,
+                                spectral_norm=self.spectral_norm)
+        edge_affine = ConvLayer(half, act=leaky_relu_02, norm=self.norm,
+                                spectral_norm=self.spectral_norm)
+        y = node_affine(neighbor, train=train) + edge_affine(edge, train=train)
+
+        if self.mlp_layer:
+            y = SharedMLP([half, self.out_features], norm=self.norm,
+                          spectral_norm=self.spectral_norm)(y, train=train)
+        else:
+            y = ConvLayer(self.out_features, act=None, norm=self.norm,
+                          spectral_norm=self.spectral_norm)(y, train=train)
+        return _aggregate(y, self.aggregate)        # [B, N, C_out]
+
+
+class IDGCNLayer(nn.Module):
+    """Inception-DenseGCN layer from PU-GCN (reference
+    gcn_lib/pointnet/gcn.py:215-279): bottleneck, then three parallel
+    branches (local kNN max pool, EdgeConv d=1, EdgeConv d=2), concat,
+    decode, optional layer norm, residual skip."""
+
+    out_features: int
+    norm: str = "none"
+    layer_norm: bool = False
+    residual: bool = True
+    spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        c = feat.shape[-1]
+        btn = ConvLayer(c // 4, act=None, norm=self.norm,
+                        spectral_norm=self.spectral_norm)
+        x = btn(feat, train=train)                  # [B, N, C/4]
+
+        _, idx = knn(x, k=9)
+        local_max = jnp.max(group(x, idx), axis=2)  # [B, N, C/4]
+
+        feat1 = EdgeConv(c // 4, k=20, dilation=1, norm=self.norm,
+                         spectral_norm=self.spectral_norm)(x, train=train)
+        feat2 = EdgeConv(c // 4, k=20, dilation=2, norm=self.norm,
+                         spectral_norm=self.spectral_norm)(x, train=train)
+
+        y = jnp.concatenate([local_max, feat1, feat2], axis=-1)
+        y = ConvLayer(self.out_features, act=leaky_relu_02, norm=self.norm,
+                      spectral_norm=self.spectral_norm)(y, train=train)
+
+        if self.layer_norm:
+            y = nn.LayerNorm()(y)
+        if self.residual:
+            skip = ConvLayer(self.out_features, act=None, norm=self.norm,
+                             spectral_norm=self.spectral_norm)(feat, train=train)
+            y = y + skip
+        return y

@@ -1,0 +1,84 @@
+"""PointNet++ set-abstraction modules (SSG / MSG / global pooling).
+
+Equivalent of the reference's `_PointnetSAModuleBase` / `MSGSetConv` /
+`SSGSetConv` (discriminator.py:82-232): FPS-downsample centers, ball-query
+and group neighborhoods, shared MLP, max-pool per neighborhood.
+
+Dummy-point handling: the reference resamples FPS centers that landed on
+999-sentinel dummies with *random* real points (discriminator.py:116-130);
+here FPS simply never selects invalid points (mask-aware argmax), which is
+deterministic and fixed-shape — strictly stronger than the reference's
+rejection loop. Dummies are likewise excluded as ball-query candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpugan_tpu.nn.layers import SharedMLP
+from tpugan_tpu.ops.neighbors import fps, gather, group_all, query_and_group
+
+
+class SetConv(nn.Module):
+    """Multi-scale-grouping set abstraction. ``npoint=None`` means global
+    grouping (reference ``GroupAll`` / SA_pooling).
+
+    mlps[i] lists the per-scale MLP output widths (the reference's
+    ``mlp_spec`` minus its input entry; the +3 for use_xyz is implicit in
+    the input width here).
+    """
+
+    mlps: Sequence[Sequence[int]]
+    npoint: Optional[int] = None
+    radii: Sequence[Optional[float]] = (None,)
+    nsamples: Sequence[Optional[int]] = (None,)
+    mask_dummy: bool = False
+    bn: bool = True
+    use_xyz: bool = True
+    spectral_norm: bool = True
+    act: Callable = nn.relu
+
+    @classmethod
+    def ssg(cls, mlp, npoint=None, radius=None, nsample=None, **kw):
+        """Single-scale grouping convenience (reference SSGSetConv)."""
+        return cls(mlps=[mlp], radii=[radius], nsamples=[nsample],
+                   npoint=npoint, **kw)
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,                       # [B, N, 3]
+        features: Optional[jnp.ndarray] = None,  # [B, N, C]
+        valid: Optional[jnp.ndarray] = None,     # [B, N] bool
+        train: bool = True,
+    ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+        if self.npoint is not None:
+            centers = fps(
+                xyz, self.npoint, valid=valid if self.mask_dummy else None
+            )
+            new_xyz = gather(xyz, centers)
+        else:
+            new_xyz = None
+
+        outs = []
+        for i, mlp_spec in enumerate(self.mlps):
+            if self.npoint is not None:
+                grouped = query_and_group(
+                    xyz, new_xyz, features,
+                    radius=self.radii[i], nsample=self.nsamples[i],
+                    use_xyz=self.use_xyz, c_valid=valid,
+                )                                   # [B, M, ns, 3+C]
+            else:
+                grouped = group_all(xyz, features, use_xyz=self.use_xyz)
+            y = SharedMLP(
+                mlp_spec, act=self.act,
+                norm="batch" if self.bn else "none",
+                spectral_norm=self.spectral_norm,
+                use_bias=not self.bn,
+            )(grouped, train=train)
+            outs.append(jnp.max(y, axis=2))          # [B, M, C']
+
+        return new_xyz, jnp.concatenate(outs, axis=-1)

@@ -122,11 +122,26 @@ def knn(
     """
     if cand is None:
         cand = query
+    nc = cand.shape[-2]
+    k_eff = min(k, nc)
 
     def one_chunk(q):
         d2 = _masked_sqdist(q, cand, c_valid)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return -neg, idx.astype(jnp.int32)
+        neg, idx = jax.lax.top_k(-d2, k_eff)
+        d2k, idxk = -neg, idx.astype(jnp.int32)
+        if k_eff < k:
+            # fewer candidates than requested neighbors: pad with BIG
+            # distances (flagged out-of-range by radius_mask_knn) repeating
+            # the last index.
+            pad = k - k_eff
+            d2k = jnp.concatenate(
+                [d2k, jnp.full(d2k.shape[:-1] + (pad,), BIG)], axis=-1
+            )
+            idxk = jnp.concatenate(
+                [idxk, jnp.broadcast_to(idxk[..., -1:], idxk.shape[:-1] + (pad,))],
+                axis=-1,
+            )
+        return d2k, idxk
 
     return _chunked_query(one_chunk, query, chunk)
 
