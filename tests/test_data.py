@@ -1,0 +1,123 @@
+"""Tests for the host-side data pipeline: synthetic fixtures, host FPS,
+patching, fluid siamese batches, MSR clips."""
+
+import numpy as np
+import pytest
+
+from tpugan_tpu.data import (
+    MSRAction3DDataset,
+    SiamFluidDataset,
+    action_batch_iterator,
+    farthest_point_sampling,
+    fluid_batch_iterator,
+    get_free_surface_particles,
+    make_synthetic_fluid_dataset,
+    normalize_point_cloud,
+    sample_patch_with_fps,
+    voxel_downsample,
+)
+from tpugan_tpu.data.synthetic import make_synthetic_action_dataset
+
+
+@pytest.fixture(scope="module")
+def fluid_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fluid")
+    return make_synthetic_fluid_dataset(
+        str(root), case_num=2, case_steps=6, num_particles=3000
+    )
+
+
+@pytest.fixture(scope="module")
+def action_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("msr")
+    return make_synthetic_action_dataset(str(root), num_videos=4, frames=8,
+                                         points=700)
+
+
+def test_host_fps_greedy_property(rng):
+    pts = rng.standard_normal((200, 3)).astype(np.float32)
+    idx, _ = farthest_point_sampling(pts, 20, initial_idx=0)
+    assert idx[0] == 0
+    assert len(np.unique(idx)) == 20
+    # greedy invariant: each new point maximizes min distance to selected
+    sel = [0]
+    mind = np.sum((pts - pts[0]) ** 2, -1)
+    for i in idx[1:]:
+        assert mind[i] == mind.max()
+        sel.append(i)
+        mind = np.minimum(mind, np.sum((pts - pts[i]) ** 2, -1))
+
+
+def test_normalize_point_cloud(rng):
+    pos = rng.standard_normal((100, 3)).astype(np.float32) + 5
+    out, c, h = normalize_point_cloud(pos)
+    np.testing.assert_allclose(np.mean(out, 0), 0, atol=1e-5)
+    assert h == 1.0
+
+
+def test_sample_patch_with_fps(rng):
+    pos = rng.standard_normal((3000, 3)).astype(np.float32)
+    d, patch_idx, fps_idx = sample_patch_with_fps(pos, sample_num=1024,
+                                                  fps_ratio=0.125, rng=rng)
+    assert d["patch_pos"].shape == (1024, 3)
+    assert d["ds_pos"].shape == (128, 3)
+    np.testing.assert_array_equal(d["ds_pos"], d["patch_pos"][fps_idx])
+    np.testing.assert_array_equal(d["patch_pos"], pos[patch_idx])
+
+
+def test_voxel_downsample(rng):
+    pos = rng.uniform(0, 1, (4000, 3)).astype(np.float32)
+    ds = voxel_downsample(pos, radius=0.05, ds_ratio=0.5, rng=rng)
+    assert ds.shape[0] <= 2000
+    assert ds.shape[1] == 3
+
+
+def test_free_surface_extraction(rng):
+    # dense cube: surface particles are near the faces
+    g = np.linspace(0, 1, 12)
+    cube = np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3).astype(np.float32)
+    surf = get_free_surface_particles(cube, radius=0.12)
+    assert 0 < surf.shape[0] < cube.shape[0]
+    d_face = np.minimum(surf.min(1), (1 - surf).min(1))
+    assert np.all(d_face < 0.2)
+
+
+def test_fluid_dataset_and_iterator(fluid_root):
+    ds = SiamFluidDataset(fluid_root, case_num=2, case_steps=6,
+                          sample_num=1024, fps_ratio=0.125)
+    assert len(ds) == 8
+    item = ds[0]
+    assert item["highres_pos"].shape == (3, 1024, 3)
+    assert item["lowres_pos"].shape == (3, 128, 3)
+    # frame alignment: particles share identity across frames, so center
+    # lowres ~ center highres[fps]; and motion between frames is small
+    drift = np.abs(item["highres_pos"][1] - item["highres_pos"][0]).max()
+    assert drift < 0.5
+    assert item["highres_pos"].dtype == np.float32
+
+    it = fluid_batch_iterator(ds, batch_size=2, seed=0)
+    batch = next(it)
+    assert batch["lowres_pos"].shape == (3, 2, 128, 3)
+    assert batch["highres_pos"].shape == (3, 2, 1024, 3)
+    assert batch["h"].shape == (2,)
+
+
+def test_msr_dataset_split_and_shapes(action_root):
+    tr = MSRAction3DDataset(action_root, frames_per_clip=3, num_points=512)
+    te = MSRAction3DDataset(action_root, frames_per_clip=3, num_points=512,
+                            train=False)
+    assert len(tr) > 0 and len(te) > 0
+    item = tr[0]
+    assert item["highres_pos"].shape == (3, 512, 3)
+    assert item["lowres_pos"].shape == (3, 32, 3)
+    # train clips centered on middle frame
+    np.testing.assert_allclose(item["highres_pos"][1].mean(0), 0, atol=1e-4)
+    # test clips carry per-frame centers + video index
+    t_item = te[0]
+    assert "centers" in t_item and "video_index" in t_item
+    np.testing.assert_allclose(t_item["highres_pos"][0].mean(0), 0, atol=1e-4)
+
+    batch = next(action_batch_iterator(tr, batch_size=2, seed=0))
+    assert batch["highres_pos"].shape == (3, 2, 512, 3)
+    assert batch["lowres_pos"].shape == (3, 2, 32, 3)
+    assert batch["label"].shape == (2,)

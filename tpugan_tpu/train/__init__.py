@@ -1,0 +1,29 @@
+from tpugan_tpu.train.state import NetState, GanTrainState, make_optimizer
+from tpugan_tpu.train.step import (
+    build_fluid_models,
+    build_action_models,
+    init_fluid_state,
+    init_action_state,
+    make_fluid_gan_step,
+    make_action_gan_step,
+    get_rotation_matrix,
+    advect_particle,
+)
+from tpugan_tpu.train.checkpoint import save_checkpoint, load_checkpoint, ensure_dir
+
+__all__ = [
+    "NetState",
+    "GanTrainState",
+    "make_optimizer",
+    "build_fluid_models",
+    "build_action_models",
+    "init_fluid_state",
+    "init_action_state",
+    "make_fluid_gan_step",
+    "make_action_gan_step",
+    "get_rotation_matrix",
+    "advect_particle",
+    "save_checkpoint",
+    "load_checkpoint",
+    "ensure_dir",
+]
