@@ -1,0 +1,114 @@
+"""Sequence rollout CLI — the demo.ipynb cell-3 loop as a proper entry
+point (reference train_fluid/demo.ipynb; SURVEY.md §3.3).
+
+Reads ``data_{i}.npz`` frames (pos, vel) from a directory (or generates a
+synthetic sequence), upsamples every frame with the 25-frame mask-history
+context, reports wall-clock frames/sec, and writes .npy (and optionally
+.bgeo) outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description="TPU-GAN sequence rollout")
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="directory with data_{i}.npz frames")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="checkpoint file/dir (random init if omitted)")
+    p.add_argument("--out_dir", type=str, default="./rollout_out")
+    p.add_argument("--num_frames", type=int, default=None)
+    p.add_argument("--use_vel", action="store_true")
+    p.add_argument("--in_node_feats", type=int, default=3)
+    p.add_argument("--node_embedding", type=int, default=128)
+    p.add_argument("--upsample_ratio", type=int, default=8)
+    p.add_argument("--export_bgeo", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_particles", type=int, default=4096)
+    opt = p.parse_args()
+
+    from tpugan_tpu.models import SRNet
+    from tpugan_tpu.eval.rollout import rollout_sequence
+
+    model = SRNet(
+        in_feats=opt.in_node_feats, node_emb_dim=opt.node_embedding,
+        upsample_ratio=opt.upsample_ratio,
+    )
+
+    # ---- frames
+    if opt.synthetic or opt.data_dir is None:
+        from tpugan_tpu.data.synthetic import synthetic_fluid_sequence
+
+        n_frames = opt.num_frames or 24
+        frames = [
+            (pos, vel) for pos, vel in synthetic_fluid_sequence(
+                seed=3, num_particles=opt.synthetic_particles,
+                num_frames=n_frames,
+            )
+        ]
+    else:
+        names = sorted(
+            (f for f in os.listdir(opt.data_dir) if f.endswith(".npz")),
+            key=lambda s: int("".join(c for c in s if c.isdigit()) or 0),
+        )
+        if opt.num_frames:
+            names = names[: opt.num_frames]
+        frames = []
+        for name in names:
+            with np.load(os.path.join(opt.data_dir, name)) as z:
+                frames.append((z["pos"], z.get("vel")))
+
+    # ---- model variables
+    pos0 = jax.numpy.asarray(frames[0][0], jax.numpy.float32)[None]
+    feat0 = pos0
+    if opt.in_node_feats == 6:
+        feat0 = jax.numpy.concatenate([pos0, pos0 * 0], axis=-1)
+    variables = jax.jit(lambda k, f, q: model.init(k, f, q, False))(
+        jax.random.PRNGKey(0), feat0, pos0
+    )
+    if opt.ckpt:
+        from flax import serialization
+
+        path = opt.ckpt
+        if os.path.isdir(path):
+            with open(os.path.join(path, "latest_checkpoint.txt")) as fh:
+                path = os.path.join(path, fh.readline().strip())
+        with open(path, "rb") as fh:
+            import flax
+
+            restored = serialization.msgpack_restore(fh.read())
+        variables = {
+            "params": serialization.from_state_dict(
+                variables["params"], restored["sr_net"]["params"]
+            )
+        }
+        print(f"restored generator from {path}")
+
+    # ---- rollout
+    os.makedirs(opt.out_dir, exist_ok=True)
+    t0 = time.time()
+    outputs = rollout_sequence(
+        model, variables, frames, use_vel=opt.use_vel
+    )
+    used = time.time() - t0
+    print(f"Used: {used:.2f}s for {len(frames)} frames "
+          f"({len(frames)/used:.2f} frames/s)")
+
+    for i, pts in enumerate(outputs):
+        np.save(os.path.join(opt.out_dir, f"pred_{i}.npy"), pts)
+        if opt.export_bgeo:
+            from tpugan_tpu.data.bgeo import write_bgeo
+
+            write_bgeo(os.path.join(opt.out_dir, f"pred_{i}.bgeo"), pts)
+    print(f"wrote {len(outputs)} frames to {opt.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

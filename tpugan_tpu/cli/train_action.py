@@ -1,0 +1,144 @@
+"""MSR-Action3D GAN training entry point.
+
+Mirrors the reference CLI ``train_action/train_msr.py`` (args :30-83, loop
+:112-285); blessed config is ``--iters 100000``
+(train_action/train_dir/train.sh). ``--synthetic`` trains on generated
+MSR-schema fixtures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def get_arguments(parser: argparse.ArgumentParser):
+    add = parser.add_argument
+    add("--lr", type=float, default=3e-4)
+    add("--resume", action="store_true")
+    add("--path_to_resume", type=str, default=None)
+    add("--iters", type=int, default=100000)
+    add("--log_dir", type=str, default="./")
+    add("--ckpt_every", type=int, default=10000)
+    add("--node_embedding", type=int, default=128)
+    add("--R", type=float, default=2.0)
+    add("--data_dir", type=str, default="./MSR-Action3D")
+    add("--batch_size", type=int, default=4)
+    add("--num_points", type=int, default=2048)
+    add("--w", type=float, default=2.0)
+    add("--freeze_D", action="store_true")
+    add("--dump_visualization", action="store_true")
+    add("--synthetic", action="store_true")
+    add("--data_parallel", action="store_true")
+    add("--seed", type=int, default=1)
+    return parser.parse_args()
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train action GAN")
+    opt = get_arguments(parser)
+    print("Using following options")
+    print(opt)
+
+    from tpugan_tpu.config import ActionTrainConfig
+    from tpugan_tpu.data import MSRAction3DDataset, action_batch_iterator
+    from tpugan_tpu.data.synthetic import make_synthetic_action_dataset
+    from tpugan_tpu.parallel import make_mesh
+    from tpugan_tpu.parallel.mesh import device_put_batch, device_put_replicated, replicated
+    from tpugan_tpu.train import (
+        init_action_state, load_checkpoint, make_action_gan_step,
+        save_checkpoint, ensure_dir,
+    )
+    from tpugan_tpu.train.state import param_count
+    from tpugan_tpu.utils import MetricWriter, StepTimer
+
+    data_dir = opt.data_dir
+    if opt.synthetic:
+        data_dir = os.path.join(opt.log_dir, "synthetic_msr")
+        print(f"Generating synthetic MSR dataset at {data_dir}")
+        make_synthetic_action_dataset(data_dir, num_videos=6, frames=10,
+                                      points=3000, seed=opt.seed)
+
+    cfg = ActionTrainConfig(
+        lr=opt.lr, iters=opt.iters, ckpt_every=opt.ckpt_every,
+        node_embedding=opt.node_embedding, R=opt.R, data_dir=data_dir,
+        batch_size=opt.batch_size, num_points=opt.num_points, w=opt.w,
+        freeze_D=opt.freeze_D, dump_visualization=opt.dump_visualization,
+        log_dir=opt.log_dir, seed=opt.seed, data_parallel=opt.data_parallel,
+    )
+
+    print("Preparing the data")
+    dataset = MSRAction3DDataset(
+        cfg.data_dir, frames_per_clip=cfg.frames_per_clip,
+        num_points=cfg.num_points, fps_ratio=cfg.fps_ratio, seed=cfg.seed,
+    )
+    batches = action_batch_iterator(dataset, cfg.batch_size, seed=cfg.seed)
+
+    print("Building network")
+    models, txs, state = init_action_state(cfg, jax.random.PRNGKey(cfg.seed))
+    print(f"Total trainable parameters (sr_net): {param_count(state.sr.params)}")
+    print(f"Total trainable parameters (tempo_dis): {param_count(state.tempo.params)}")
+    print(f"Total trainable parameters (spatial_dis): {param_count(state.spatial.params)}")
+
+    mesh = make_mesh() if cfg.data_parallel else None
+    step = make_action_gan_step(models, txs, cfg, mesh=mesh)
+    if mesh is not None:
+        state = device_put_replicated(state, mesh)
+
+    checkpoint_dir = os.path.join(cfg.log_dir, "model_ckpt")
+    ensure_dir(checkpoint_dir)
+    if opt.resume:
+        state = load_checkpoint(opt.path_to_resume or checkpoint_dir, state)
+        print("last checkpoint restored")
+
+    writer = MetricWriter(cfg.log_dir)
+    timer = StepTimer()
+    n_iter = int(np.asarray(state.n_iter))
+    step_key = jax.random.PRNGKey(cfg.seed + 1)
+    start = time.time()
+
+    while n_iter < cfg.iters:
+        batch = next(batches)
+        feed = {
+            "lowres_pos": batch["lowres_pos"],
+            "highres_pos": batch["highres_pos"],
+        }
+        if mesh is not None:
+            feed = device_put_batch(feed, mesh)
+        timer.data_ready()
+
+        step_key, sub = jax.random.split(step_key)
+        if mesh is not None:
+            sub = jax.device_put(sub, replicated(mesh))
+        state, metrics = step(state, feed, sub)
+        n_iter += 1
+        timer.step_done()
+        writer.add(n_iter, metrics)
+
+        if n_iter % 50 == 0:
+            host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            rate = n_iter / (time.time() - start)
+            print(
+                f"iter {n_iter}/{cfg.iters} ({rate:.2f} it/s, "
+                f"eff {timer.compute_efficiency:.2f}): "
+                + ", ".join(f"{k}={v:.4f}" for k, v in host.items()),
+                flush=True,
+            )
+
+        if (n_iter - 1) % cfg.ckpt_every == 0 or n_iter >= cfg.iters:
+            save_checkpoint(
+                state,
+                os.path.join(checkpoint_dir, f"tpugan_checkpoint{n_iter}.ckpt"),
+                max_keep=5,
+            )
+
+    writer.close()
+    print("exiting...")
+
+
+if __name__ == "__main__":
+    main()

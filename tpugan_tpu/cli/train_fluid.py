@@ -1,0 +1,197 @@
+"""Fluid GAN training entry point.
+
+Mirrors the reference CLI ``train_fluid/train_tempo.py`` (argparse surface
+:29-106, main loop :143-321) with TPU-native additions: ``--synthetic``
+materializes a reference-schema synthetic dataset (no external SPH solver
+needed), ``--data_parallel`` shards the batch over every visible device.
+
+Blessed configs (reference shell scripts):
+  train_vel:   --use_vel --in_node_feats 6       (train_fluid/train_vel/train.sh)
+  train_novel: defaults                           (train_fluid/train_novel/train.sh)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def get_arguments(parser: argparse.ArgumentParser):
+    add = parser.add_argument
+    add("--lr", type=float, default=3e-4)
+    add("--resume", action="store_true")
+    add("--path_to_resume", type=str, default=None)
+    add("--iters", type=int, default=80000)
+    add("--log_dir", type=str, default="./")
+    add("--ckpt_every", type=int, default=5000)
+    add("--in_node_feats", type=int, default=3)
+    add("--node_embedding", type=int, default=128)
+    add("--R", type=float, default=0.10)
+    add("--train_dataset_path", type=str, default="../../data/train_data_0.025_fine")
+    add("--test_dataset_path", type=str, default="../../data/test_data_0.025_fine")
+    add("--train_sequence_num", type=int, default=20)
+    add("--test_sequence_num", type=int, default=4)
+    add("--sequence_length", type=int, default=200)
+    add("--batch_size", type=int, default=4)
+    add("--small_batch", action="store_true")
+    add("--w", type=float, default=0.5)
+    add("--cutoff", type=float, default=0.025)
+    add("--use_vel", action="store_true")
+    add("--freeze_D", action="store_true")
+    add("--dump_visualization", action="store_true")
+    # TPU-native additions
+    add("--synthetic", action="store_true",
+        help="generate and train on synthetic SPH-like fixtures")
+    add("--synthetic_particles", type=int, default=12000)
+    add("--patch_size", type=int, default=None,
+        help="override patch size (default: 9216, or 4096 for small batch)")
+    add("--data_parallel", action="store_true")
+    add("--seed", type=int, default=1)
+    return parser.parse_args()
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train temporal consistent GAN")
+    opt = get_arguments(parser)
+    print("Using following options")
+    print(opt)
+
+    from tpugan_tpu.config import FluidTrainConfig
+    from tpugan_tpu.data import SiamFluidDataset, fluid_batch_iterator
+    from tpugan_tpu.data.synthetic import make_synthetic_fluid_dataset
+    from tpugan_tpu.parallel import make_mesh
+    from tpugan_tpu.parallel.mesh import device_put_batch, device_put_replicated, replicated
+    from tpugan_tpu.train import (
+        init_fluid_state, load_checkpoint, make_fluid_gan_step,
+        save_checkpoint, ensure_dir,
+    )
+    from tpugan_tpu.train.state import param_count
+    from tpugan_tpu.utils import MetricWriter, StepTimer
+
+    patch_size = opt.patch_size or (
+        9216 if opt.batch_size <= 4 and not opt.small_batch else 4096
+    )
+
+    train_path = opt.train_dataset_path
+    train_seq, seq_len = opt.train_sequence_num, opt.sequence_length
+    if opt.synthetic:
+        train_path = os.path.join(opt.log_dir, "synthetic_data")
+        train_seq, seq_len = 2, 8
+        print(f"Generating synthetic dataset at {train_path}")
+        make_synthetic_fluid_dataset(
+            train_path, case_num=train_seq, case_steps=seq_len,
+            num_particles=opt.synthetic_particles, seed=opt.seed,
+        )
+
+    cfg = FluidTrainConfig(
+        lr=opt.lr, iters=opt.iters, ckpt_every=opt.ckpt_every,
+        in_node_feats=opt.in_node_feats, node_embedding=opt.node_embedding,
+        R=opt.R, train_dataset_path=train_path,
+        test_dataset_path=opt.test_dataset_path,
+        train_sequence_num=train_seq, test_sequence_num=opt.test_sequence_num,
+        sequence_length=seq_len, batch_size=opt.batch_size,
+        small_batch=opt.small_batch, patch_size=patch_size,
+        w=opt.w, cutoff=opt.cutoff, use_vel=opt.use_vel,
+        freeze_D=opt.freeze_D, dump_visualization=opt.dump_visualization,
+        log_dir=opt.log_dir, seed=opt.seed, data_parallel=opt.data_parallel,
+    )
+
+    print("Preparing the data")
+    dataset = SiamFluidDataset(
+        cfg.train_dataset_path, cfg.train_sequence_num, cfg.sequence_length,
+        sample_num=cfg.patch_size, fps_ratio=cfg.fps_ratio,
+        jitter=cfg.jitter, seed=cfg.seed,
+    )
+    batches = fluid_batch_iterator(dataset, cfg.batch_size, seed=cfg.seed)
+
+    print("Building network")
+    key = jax.random.PRNGKey(cfg.seed)
+    models, txs, state = init_fluid_state(cfg, key)
+    print(f"Total trainable parameters (sr_net): {param_count(state.sr.params)}")
+    print(f"Total trainable parameters (tempo_dis): {param_count(state.tempo.params)}")
+    print(f"Total trainable parameters (spatial_dis): {param_count(state.spatial.params)}")
+
+    mesh = make_mesh() if cfg.data_parallel else None
+    step = make_fluid_gan_step(models, txs, cfg, mesh=mesh)
+    if mesh is not None:
+        state = device_put_replicated(state, mesh)
+
+    checkpoint_dir = os.path.join(cfg.log_dir, "model_ckpt")
+    ensure_dir(checkpoint_dir)
+    if opt.resume:
+        state = load_checkpoint(opt.path_to_resume or checkpoint_dir, state)
+        print("last checkpoint restored")
+
+    writer = MetricWriter(cfg.log_dir)
+    timer = StepTimer()
+    n_iter = int(np.asarray(state.n_iter))
+    step_key = jax.random.PRNGKey(cfg.seed + 1)
+    start = time.time()
+
+    while n_iter < cfg.iters:
+        batch = next(batches)
+        feed = {k: v for k, v in batch.items() if k != "h"}
+        if mesh is not None:
+            feed = device_put_batch(feed, mesh)
+        timer.data_ready()
+
+        step_key, sub = jax.random.split(step_key)
+        if mesh is not None:
+            sub = jax.device_put(sub, replicated(mesh))
+        state, metrics = step(state, feed, sub)
+        n_iter += 1
+        timer.step_done()
+        writer.add(n_iter, metrics)
+
+        if n_iter % 50 == 0:
+            host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            rate = n_iter / (time.time() - start)
+            print(
+                f"iter {n_iter}/{cfg.iters} ({rate:.2f} it/s, "
+                f"eff {timer.compute_efficiency:.2f}): "
+                + ", ".join(f"{k}={v:.4f}" for k, v in host.items()),
+                flush=True,
+            )
+
+        if (n_iter - 1) % cfg.ckpt_every == 0 or n_iter >= cfg.iters:
+            save_checkpoint(
+                state,
+                os.path.join(checkpoint_dir, f"tpugan_checkpoint{n_iter}.ckpt"),
+                max_keep=5,
+            )
+            if cfg.dump_visualization:
+                _dump_samples(models[0], state, batch, cfg, n_iter)
+
+    writer.close()
+    print("exiting...")
+
+
+def _dump_samples(sr_model, state, batch, cfg, n_iter):
+    """Eval-mode sample dumps (reference train_tempo.py:259-297): save gt /
+    input / prediction clouds as .npy (headless equivalent of the Open3D
+    PNG captures)."""
+    sample_dir = os.path.join(cfg.log_dir, "samples")
+    os.makedirs(sample_dir, exist_ok=True)
+    lowres = batch["lowres_pos"][1][:1]
+    feature = lowres
+    if cfg.use_vel and cfg.in_node_feats == 6:
+        from tpugan_tpu.config import DT
+
+        feature = np.concatenate([lowres, batch["lowres_vel"][1][:1] * DT], -1)
+    _, _, padded, valid = sr_model.apply(
+        {"params": jax.device_get(state.sr.params)},
+        feature, lowres, False,
+    )
+    pred = np.asarray(padded)[0][np.asarray(valid)[0]]
+    np.save(os.path.join(sample_dir, f"gt_iter{n_iter}.npy"),
+            batch["highres_pos"][1][0])
+    np.save(os.path.join(sample_dir, f"input_iter{n_iter}.npy"), lowres[0])
+    np.save(os.path.join(sample_dir, f"pred_iter{n_iter}.npy"), pred)
+
+
+if __name__ == "__main__":
+    main()

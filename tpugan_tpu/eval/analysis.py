@@ -1,0 +1,153 @@
+"""Quantitative evaluation: CD/EMD/MMD metrics, cycle consistency, density
+fields, free-surface particle counts.
+
+Equivalents of reference train_fluid/analysis_helper.py (position_loss
+:232-262, cycle_consistency :175-229, get_particle_density :116-161,
+free_surface_particle_loss :275-281) and
+train_action/analysis_helper.py:60-68. The chamferdist/MSN-EMD/geomloss
+CUDA stack is replaced by the on-device ops library.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugan_tpu.config import DT
+from tpugan_tpu.ops.interpolate import bicubic_kernel, cubic_interpolation
+from tpugan_tpu.ops.metrics import auction_assignment, chamfer, gaussian_mmd
+from tpugan_tpu.ops.neighbors import radius_mask_knn
+
+
+def _joint_normalize(a: jnp.ndarray, b: jnp.ndarray):
+    """Shared shift/scale used by the reference before EMD
+    (analysis_helper.py:239-255): shift by the elementwise min of the two
+    per-axis minima, scale by the larger max norm."""
+    m = jnp.minimum(
+        jnp.min(a, axis=1, keepdims=True), jnp.min(b, axis=1, keepdims=True)
+    )
+    a, b = a - m, b - m
+    h = jnp.maximum(
+        jnp.max(jnp.linalg.norm(a, axis=-1), axis=1),
+        jnp.max(jnp.linalg.norm(b, axis=-1), axis=1),
+    )[:, None, None]
+    return a / h, b / h, h
+
+
+def position_metrics(
+    pos_pred: jnp.ndarray,
+    pos_gt: jnp.ndarray,
+    emd_eps: float = 0.03,
+    emd_iters: int = 500,
+) -> Tuple[float, float, float]:
+    """(normalized Chamfer, mean EMD distance, MMD) between prediction and
+    ground truth — reference ``position_loss`` (analysis_helper.py:232-262):
+    CD divided by gt point count; EMD on jointly-normalized clouds; Gaussian
+    MMD (blur 0.01)."""
+    if pos_pred.ndim == 2:
+        pos_pred, pos_gt = pos_pred[None], pos_gt[None]
+    cd = jnp.mean(chamfer(pos_pred, pos_gt)) / pos_gt.shape[1]
+    p, t, _ = _joint_normalize(pos_pred, pos_gt)
+    n = min(p.shape[1], t.shape[1])
+    assign = auction_assignment(p[:, :n], t[:, :n], eps=emd_eps, iters=emd_iters)
+    matched = jnp.take_along_axis(t[:, :n], assign[..., None], axis=1)
+    emd = jnp.mean(jnp.linalg.norm(p[:, :n] - matched, axis=-1))
+    mmd = jnp.mean(gaussian_mmd(p, t, blur=0.01))
+    return float(cd), float(emd), float(mmd)
+
+
+def cycle_consistency(
+    sr_apply,
+    lowres_pos_left: jnp.ndarray,
+    lowres_pos_right: jnp.ndarray,
+    highres_advection: jnp.ndarray,
+    highres_pos_left: jnp.ndarray,
+    cutoff: float,
+    use_vel: bool = False,
+    lowres_vel_left: Optional[jnp.ndarray] = None,
+    lowres_vel_right: Optional[jnp.ndarray] = None,
+    emd_eps: float = 0.03,
+    emd_iters: int = 500,
+) -> Tuple[float, float, float]:
+    """Upsample-then-advect vs advect-then-upsample consistency (reference
+    analysis_helper.py:175-229).
+
+    ``sr_apply(feature, pos) -> pred_pos [B, M, 3]`` wraps the generator.
+    Path 1: upsample left frame, advect each predicted particle by the
+    interpolated ground-truth advection field. Path 2: upsample the right
+    frame directly. Returns (CD/N, mean EMD, MMD) between the two.
+    """
+    def feats(pos, vel):
+        if use_vel:
+            return jnp.concatenate([pos, vel * DT], axis=-1)
+        return pos
+
+    pred_left = sr_apply(feats(lowres_pos_left, lowres_vel_left), lowres_pos_left)
+    pred_advection = cubic_interpolation(
+        pred_left[0], highres_advection[0], highres_pos_left[0], 1.6 * cutoff
+    )
+    pred_right_advect = pred_left + pred_advection[None]
+
+    pred_right = sr_apply(feats(lowres_pos_right, lowres_vel_right),
+                          lowres_pos_right)
+
+    cd = jnp.mean(chamfer(pred_right, pred_right_advect)) / pred_right.shape[1]
+    p, t, _ = _joint_normalize(pred_right, pred_right_advect)
+    assign = auction_assignment(p, t, eps=emd_eps, iters=emd_iters)
+    matched = jnp.take_along_axis(t, assign[..., None], axis=1)
+    emd = jnp.mean(jnp.linalg.norm(p - matched, axis=-1))
+    mmd = jnp.mean(gaussian_mmd(p, t, blur=0.01))
+    return float(cd), float(emd), float(mmd)
+
+
+def get_particle_density(
+    pos: np.ndarray, cutoff: float, k: int = 64
+) -> np.ndarray:
+    """Unnormalized cubic-spline kernel density per particle (reference
+    analysis_helper.py:116-149; the numba kernel there uses coeff=1)."""
+    d2, _, in_range = radius_mask_knn(
+        jnp.asarray(pos)[None], jnp.asarray(pos)[None], k=k, radius=cutoff
+    )
+    r = jnp.sqrt(jnp.maximum(d2, 0.0))
+    # reference coeff=1 variant of the spline
+    q = r / cutoff
+    ker = jnp.where(
+        q <= 0.5, 6.0 * (q ** 3 - q ** 2) + 1.0,
+        jnp.where(q <= 1.0, 2.0 * (1.0 - q) ** 3, 0.0),
+    )
+    dns = jnp.sum(jnp.where(in_range, ker, 0.0), axis=-1)
+    return np.asarray(dns)[0][:, None]
+
+
+def particle_dns2grid_dns(
+    grid_pos: np.ndarray, pcd_pos: np.ndarray, cutoff: float, k: int = 64
+) -> np.ndarray:
+    """Density of a particle cloud sampled on grid points (reference
+    analysis_helper.py:291-294)."""
+    d2, _, in_range = radius_mask_knn(
+        jnp.asarray(grid_pos)[None], jnp.asarray(pcd_pos)[None],
+        k=k, radius=cutoff,
+    )
+    r = jnp.sqrt(jnp.maximum(d2, 0.0))
+    q = r / cutoff
+    ker = jnp.where(
+        q <= 0.5, 6.0 * (q ** 3 - q ** 2) + 1.0,
+        jnp.where(q <= 1.0, 2.0 * (1.0 - q) ** 3, 0.0),
+    )
+    dns = jnp.sum(jnp.where(in_range, ker, 0.0), axis=-1)
+    return np.asarray(dns)[0][:, None]
+
+
+def free_surface_particle_count_diff(
+    pos_pred: np.ndarray, pos_gt: np.ndarray, radius: float = 0.025
+) -> int:
+    """|#free-surface(pred) - #free-surface(gt)| (reference
+    analysis_helper.py:275-281)."""
+    from tpugan_tpu.data.sampling import get_free_surface_particles
+
+    fp = get_free_surface_particles(np.asarray(pos_pred), radius)
+    fg = get_free_surface_particles(np.asarray(pos_gt), radius)
+    return abs(fp.shape[0] - fg.shape[0])

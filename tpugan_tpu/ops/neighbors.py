@@ -196,8 +196,13 @@ def ball_query(
         # first nsample hits in index order.
         iota = jax.lax.broadcasted_iota(jnp.int32, within.shape, within.ndim - 1)
         key = jnp.where(within, iota, jnp.int32(nc + 1))
-        neg_key, _ = jax.lax.top_k(-key, nsample)
+        neg_key, _ = jax.lax.top_k(-key, min(nsample, nc))
         idx = -neg_key  # ascending candidate indices; nc+1 marks "no hit"
+        if nsample > nc:
+            # fewer candidates than sample slots: extra slots are "no hit"
+            # (they fall back to the first found below)
+            pad = jnp.full(idx.shape[:-1] + (nsample - nc,), nc + 1, jnp.int32)
+            idx = jnp.concatenate([idx, pad], axis=-1)
         found = idx <= nc - 1
         first = jnp.where(found[..., :1], idx[..., :1], 0)
         return jnp.where(found, idx, first).astype(jnp.int32)

@@ -182,7 +182,7 @@ def init_action_state(cfg: ActionTrainConfig, key: jax.Array):
 # ---------------------------------------------------------------------------
 # fluid GAN step
 
-def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig):
+def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
     sr_model, tempo_model, spatial_model = models
     tx_sr, tx_tempo, tx_spatial = txs
     furthest_distance = 1.0  # reference passes h == 1 (train_tempo.py:244)
@@ -432,13 +432,13 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig):
         }
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return _finalize_step(step, mesh)
 
 
 # ---------------------------------------------------------------------------
 # action (no-mask) GAN step
 
-def make_action_gan_step(models, txs, cfg: ActionTrainConfig):
+def make_action_gan_step(models, txs, cfg: ActionTrainConfig, mesh=None):
     sr_model, tempo_model, spatial_model = models
     tx_sr, tx_tempo, tx_spatial = txs
     f = cfg.frames_per_clip
@@ -594,4 +594,13 @@ def make_action_gan_step(models, txs, cfg: ActionTrainConfig):
         }
         return new_state, metrics
 
+    return _finalize_step(step, mesh)
+
+def _finalize_step(step, mesh):
+    """jit the step; with a mesh, add data-parallel shardings (params
+    replicated, batch B-axis sharded, gradient allreduce via GSPMD)."""
+    if mesh is not None:
+        from tpugan_tpu.parallel.mesh import shard_gan_step
+
+        return shard_gan_step(step, mesh)
     return jax.jit(step, donate_argnums=(0,))
