@@ -1,18 +1,25 @@
-"""Headline benchmark: 4x-class fluid-frame upsampling throughput on TPU.
+"""Headline benchmark: fluid-frame upsampling throughput on TPU.
 
-Measures the flagship SRNet generator forward (hard-masked expansion, the
-inference product of the reference — the 800-frame bunny rollout of
+Measures the flagship SRNet generator forward (hard-masked expansion — the
+inference product of the reference, the 800-frame bunny rollout of
 train_fluid/demo.ipynb cell 3) on >=10k-point fluid frames, per
 BASELINE.json's north-star metric "fluid-frame upsampling frames/sec/chip".
 
-Baseline note: the reference publishes no numbers (BASELINE.md: "published:
+Methodology: the tunneled TPU runtime acknowledges dispatches before
+execution, so naive block_until_ready timing reads ~0 ms. We therefore
+chain the forward (frame t's output feeds frame t+1) for two different
+chain lengths and force a scalar device->host fetch; the marginal time
+(t_long - t_short) / (n_long - n_short) is the true per-frame device time,
+free of both per-call dispatch overhead and async under-counting.
+
+Baseline note: the reference publishes no numbers (BASELINE.md "published:
 {}"; its timing harness prints but never records). ``vs_baseline`` is
-therefore measured against REFERENCE_A100_FPS, an explicit estimate of the
-reference PyTorch pipeline's single-A100 throughput at this size, derived
-from its per-frame op inventory (per frame: ~40 CUDA kNN/ball-query/
-grouping launches on 10k points + GCN convs; PU-GCN-family reference
-implementations report 20-60 fps at 4x/10k on A100-class GPUs). Treat the
-ratio as indicative until a measured reference number exists.
+measured against REFERENCE_A100_FPS, an explicit estimate of the reference
+PyTorch pipeline's single-A100 throughput at this size, derived from its
+per-frame op inventory (~11 CUDA kNN/grouping rounds on 10k points + GCN
+convs; PU-GCN-family implementations report 20-60 fps at 4x/10k points on
+A100-class GPUs). Treat the ratio as indicative until a measured reference
+number exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,8 +32,8 @@ import numpy as np
 REFERENCE_A100_FPS = 30.0  # documented estimate; see module docstring
 N_POINTS = 10240           # >=10k-point frames (north star)
 UPSAMPLE_RATIO = 8         # reference fluid setting (train_tempo.py r=8)
-WARMUP = 3
-REPS = 30
+CHAIN_SHORT = 2
+CHAIN_LONG = 12
 
 
 def main() -> None:
@@ -44,18 +51,26 @@ def main() -> None:
         jax.random.PRNGKey(0), pos
     )
 
-    fwd = jax.jit(lambda v, p: model.apply(v, p, p, False))
-    for _ in range(WARMUP):
-        out = fwd(variables, pos)
-    jax.block_until_ready(out)
+    # chained step: the (slightly contracted) first N_POINTS output points
+    # become the next frame's input, forcing serial execution
+    step = jax.jit(
+        lambda v, p: model.apply(v, p, p, False)[0][:, :N_POINTS] * 0.999
+    )
 
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = fwd(variables, pos)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / REPS
+    def run_chain(n: int) -> float:
+        p = pos
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p = step(variables, p)
+        _ = np.asarray(p[0, 0, 0])  # true sync: fetch forces execution
+        return time.perf_counter() - t0
 
-    fps = 1.0 / dt
+    run_chain(CHAIN_SHORT)  # warm: compile + first-fetch handshake
+    t_short = min(run_chain(CHAIN_SHORT) for _ in range(2))
+    t_long = min(run_chain(CHAIN_LONG) for _ in range(2))
+    per_frame = max((t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT), 1e-9)
+
+    fps = 1.0 / per_frame
     print(json.dumps({
         "metric": f"srnet_{UPSAMPLE_RATIO}x_upsample_{N_POINTS}pt_frames_per_sec_per_chip",
         "value": round(fps, 2),

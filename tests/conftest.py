@@ -20,6 +20,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the GAN-step graphs take minutes to compile
+# on XLA:CPU; cache them across test runs/rounds.
+os.makedirs("/tmp/tpugan_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpugan_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + str(jax.devices()[:1])
 )

@@ -121,3 +121,33 @@ def test_msr_dataset_split_and_shapes(action_root):
     assert batch["highres_pos"].shape == (3, 2, 512, 3)
     assert batch["lowres_pos"].shape == (3, 2, 32, 3)
     assert batch["label"].shape == (2,)
+
+
+def test_voxel_downsample_with_feat(rng):
+    from tpugan_tpu.data.sampling import voxel_downsample_with_feat
+
+    pos = rng.uniform(0, 1, (3000, 3)).astype(np.float32)
+    feat = np.tile(pos[:, :1] * 10, (1, 2)).astype(np.float32)
+    ds_pos, ds_feat = voxel_downsample_with_feat(pos, feat, 0.05, 0.5, rng=rng)
+    assert ds_pos.shape[0] == ds_feat.shape[0] <= 1500
+    # features are voxel means of a smooth field -> close to 10*x
+    np.testing.assert_allclose(ds_feat[:, 0], ds_pos[:, 0] * 10, atol=1.2)
+
+
+def test_filter_overlap_particles(rng):
+    from tpugan_tpu.data.sampling import filter_overlap_particles
+
+    base = rng.uniform(0, 1, (200, 3)).astype(np.float32)
+    dup = np.concatenate([base, base + 1e-5])
+    out = filter_overlap_particles(dup, h=0.01)
+    assert out.shape[0] <= 210  # near-duplicates collapsed
+
+
+def test_sample_patch_voxel_flavor(rng):
+    from tpugan_tpu.data.sampling import sample_patch
+
+    pos = rng.uniform(0, 1, (12000, 3)).astype(np.float32) * 2.0
+    patch, ds, surface = sample_patch(pos, h=1.0, rng=rng)
+    assert patch.shape[0] == 8192
+    assert ds.shape[0] >= 500
+    assert surface.shape[0] > 0

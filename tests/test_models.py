@@ -152,7 +152,7 @@ def test_rollout_mask_history():
     (ActionSpatialDis, False),
 ])
 def test_spatial_discriminators(rng, cls, needs_seq):
-    pos = _cloud(rng, 2, 1200) if cls is FluidSpatialDis else _cloud(rng, 2, 600)
+    pos = _cloud(rng, 2, 320)
     model = cls()
     key = jax.random.PRNGKey(0)
     v = model.init({"params": key, "dropout": key}, pos, None, True)
@@ -163,7 +163,7 @@ def test_spatial_discriminators(rng, cls, needs_seq):
 
 
 def test_fluid_tempo_dis_window(rng):
-    seq = [_cloud(rng, 2, 1100) for _ in range(3)]
+    seq = [_cloud(rng, 2, 320) for _ in range(3)]
     model = FluidTempoDis(3)
     key = jax.random.PRNGKey(0)
     v = model.init({"params": key, "dropout": key}, seq, 0.1, None, None, True)
@@ -173,8 +173,8 @@ def test_fluid_tempo_dis_window(rng):
 
 
 def test_fluid_tempo_dis_with_velocity_features(rng):
-    seq = [_cloud(rng, 1, 1100) for _ in range(3)]
-    feats = [_cloud(rng, 1, 1100) for _ in range(3)]
+    seq = [_cloud(rng, 1, 320) for _ in range(3)]
+    feats = [_cloud(rng, 1, 320) for _ in range(3)]
     model = FluidTempoDis(3)
     key = jax.random.PRNGKey(0)
     v = model.init({"params": key, "dropout": key}, seq, 0.1, feats, None, True)
@@ -184,7 +184,7 @@ def test_fluid_tempo_dis_with_velocity_features(rng):
 
 
 def test_action_tempo_dis_and_cls_transfer(rng):
-    seq = [_cloud(rng, 2, 600) for _ in range(3)]
+    seq = [_cloud(rng, 2, 320) for _ in range(3)]
     key = jax.random.PRNGKey(0)
     dis = ActionTempoDis(3)
     vd = dis.init({"params": key, "dropout": key}, seq, 2.0, None, True)

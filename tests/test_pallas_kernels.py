@@ -1,0 +1,88 @@
+"""Oracle tests for the Pallas TPU kernels (run in interpreter mode on the
+CPU test mesh; the same code compiles with Mosaic on TPU — see
+.claude/skills/verify for the on-hardware drive)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugan_tpu.ops.pallas.fps_kernel import fps_pallas
+from tpugan_tpu.ops.pallas.knn_kernel import knn_pallas
+
+
+def test_knn_pallas_matches_oracle(rng):
+    q = jnp.asarray(rng.standard_normal((2, 200, 3)).astype(np.float32))
+    bias = jnp.zeros((2, 200), jnp.float32)
+    d2, idx = knn_pallas(q, q, bias, 8)
+    d_np = np.sum((np.asarray(q)[:, :, None] - np.asarray(q)[:, None]) ** 2, -1)
+    idx_np = np.argsort(d_np, axis=2, kind="stable")[:, :, :8]
+    np.testing.assert_array_equal(np.asarray(idx), idx_np)
+    np.testing.assert_allclose(
+        np.asarray(d2), np.sort(d_np, 2)[:, :, :8], atol=1e-4
+    )
+
+
+def test_knn_pallas_mask_and_padding(rng):
+    # Nq not a multiple of the 128-row tile exercises the padding path
+    q = jnp.asarray(rng.standard_normal((1, 150, 3)).astype(np.float32))
+    valid = np.ones((1, 150), bool)
+    valid[:, 100:] = False
+    bias = jnp.where(jnp.asarray(valid), 0.0, 1e10)
+    _, idx = knn_pallas(q, q, bias, 6)
+    assert np.all(np.asarray(idx) < 100)
+
+
+def test_knn_pallas_feature_space(rng):
+    f = jnp.asarray(rng.standard_normal((1, 130, 32)).astype(np.float32))
+    _, idx = knn_pallas(f, f, jnp.zeros((1, 130)), 9)
+    d_np = np.sum((np.asarray(f)[0][:, None] - np.asarray(f)[0][None]) ** 2, -1)
+    np.testing.assert_array_equal(
+        np.asarray(idx)[0], np.argsort(d_np, 1, kind="stable")[:, :9]
+    )
+
+
+def test_knn_pallas_gradient(rng):
+    q = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((1, 80, 3)).astype(np.float32))
+    bias = jnp.zeros((1, 80), jnp.float32)
+
+    def f(q, c):
+        d2, _ = knn_pallas(q, c, bias, 4)
+        return jnp.sum(d2)
+
+    gq, gc = jax.grad(f, argnums=(0, 1))(q, c)
+    # numeric check against the XLA reference implementation
+    from tpugan_tpu.ops.neighbors import knn
+
+    def f_ref(q, c):
+        d2, _ = knn(q, c, 4)
+        return jnp.sum(d2)
+
+    gq_ref, gc_ref = jax.grad(f_ref, argnums=(0, 1))(q, c)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref), atol=1e-3)
+
+
+def test_fps_pallas_matches_greedy(rng):
+    pos = jnp.asarray(rng.standard_normal((2, 300, 3)).astype(np.float32))
+    pen = jnp.zeros((2, 300), jnp.float32)
+    start = jnp.zeros((2,), jnp.int32)
+    fidx = np.asarray(fps_pallas(pos, 32, pen, start))
+    p0 = np.asarray(pos)
+    for b in range(2):
+        sel = [0]
+        mind = np.sum((p0[b] - p0[b, 0]) ** 2, -1)
+        for _ in range(31):
+            nxt = int(np.argmax(mind))
+            sel.append(nxt)
+            mind = np.minimum(mind, np.sum((p0[b] - p0[b, nxt]) ** 2, -1))
+        np.testing.assert_array_equal(fidx[b], sel)
+
+
+def test_fps_pallas_respects_penalty(rng):
+    pos = jnp.asarray(rng.standard_normal((1, 100, 3)).astype(np.float32) )
+    pos = pos.at[:, 60:].set(999.0)
+    pen = jnp.where(jnp.arange(100)[None] < 60, 0.0, -1e10)
+    idx = np.asarray(fps_pallas(pos, 40, pen, jnp.zeros((1,), jnp.int32)))
+    assert np.all(idx < 60)
+    assert len(np.unique(idx[0])) == 40

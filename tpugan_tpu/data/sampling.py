@@ -37,6 +37,15 @@ def farthest_point_sampling(
         indices[0] = rng.integers(n)
     else:
         indices[0] = initial_idx
+
+    from tpugan_tpu.data import native
+
+    if native.available():
+        idx = native.fps(pts.astype(np.float32), k, start=int(indices[0]))
+        # native path skips returning running distances; recompute cheaply
+        # only if a caller ever needs them (none do in the pipeline)
+        return idx, np.empty(0, np.float32)
+
     diff = pts - pts[indices[0]]
     min_d = np.einsum("nd,nd->n", diff, diff)
     for i in range(1, k):
@@ -75,9 +84,15 @@ def sample_patch_with_fps(
         patch_num = sample_num if total > sample_num else 4096
     patch_num = min(patch_num, total)
 
-    tree = tree or cKDTree(input_pos)
-    start = input_pos[rng.integers(total)]
-    _, patch_idx = tree.query(start, patch_num)
+    from tpugan_tpu.data import native
+
+    seed = int(rng.integers(total))
+    if native.available() and tree is None:
+        patch_idx = native.knn_patch(input_pos.astype(np.float32), seed,
+                                     patch_num)
+    else:
+        tree = tree or cKDTree(input_pos)
+        _, patch_idx = tree.query(input_pos[seed], patch_num)
     patch_pos = input_pos[patch_idx]
 
     fps_idx, _ = farthest_point_sampling(
@@ -115,6 +130,111 @@ def voxel_downsample(
     if ds_pos.shape[0] > target:
         ds_pos = ds_pos[rng.choice(ds_pos.shape[0], target, replace=False)]
     return ds_pos
+
+
+def voxel_downsample_with_feat(
+    pos: np.ndarray,
+    feat: np.ndarray,
+    radius: float,
+    ds_ratio: float,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Voxel downsample carrying per-point features as voxel means
+    (reference train_utils.py:68-95 via Open3D trace)."""
+    rng = rng or np.random.default_rng()
+    pos = pos.reshape(-1, 3)
+    voxel = (1.0 / ds_ratio) * radius + 1e-9
+    keys = np.floor((pos - pos.min(0)) / voxel).astype(np.int64)
+    _, inverse, counts = np.unique(
+        keys, axis=0, return_inverse=True, return_counts=True
+    )
+    psums = np.zeros((counts.shape[0], 3), np.float64)
+    np.add.at(psums, inverse, pos)
+    fsums = np.zeros((counts.shape[0], feat.shape[1]), np.float64)
+    np.add.at(fsums, inverse, feat)
+    ds_pos = (psums / counts[:, None]).astype(np.float32)
+    ds_feat = (fsums / counts[:, None]).astype(np.float32)
+
+    target = int(ds_ratio * pos.shape[0])
+    if ds_pos.shape[0] > target:
+        sel = rng.choice(ds_pos.shape[0], target, replace=False)
+        ds_pos, ds_feat = ds_pos[sel], ds_feat[sel]
+    return ds_pos, ds_feat
+
+
+def sample_patch(
+    input_pos: np.ndarray,
+    h: float = 1.0,
+    return_free_surface_particles: bool = True,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Voxel-downsample flavored patch sampler (reference
+    train_utils.py:33-65): size-bucketed KDTree patch + 0.5-ratio voxel
+    downsample, retried until the downsample keeps >= 500 points."""
+    rng = rng or np.random.default_rng()
+    total = input_pos.shape[0]
+    if total > 80000:
+        patch_num = 32768
+    elif total > 40000:
+        patch_num = 16384
+    elif total > 10000:
+        patch_num = 8192
+    else:
+        patch_num = total
+    tree = cKDTree(input_pos)
+    for attempt in range(100):
+        seed = input_pos[rng.integers(total)]
+        _, patch = tree.query(seed, patch_num)
+        patch_pos = input_pos[patch]
+        ds_pos = voxel_downsample(patch_pos, radius=BASE_RADIUS / h,
+                                  ds_ratio=0.50, rng=rng)
+        if ds_pos.shape[0] >= 500 or patch_num < 1000:
+            break
+    else:
+        raise RuntimeError("Abnormal sampling times!")
+    if return_free_surface_particles:
+        surface = get_free_surface_particles(patch_pos, 2.2 * BASE_RADIUS / h)
+        return patch_pos, ds_pos, surface
+    return patch_pos, ds_pos
+
+
+def filter_overlap_particles(pos: np.ndarray, h: float = BASE_RADIUS * 0.5) -> np.ndarray:
+    """Deduplicate near-coincident particles by voxel hashing (reference
+    train_utils.py:241-255)."""
+    pos = np.asarray(pos, np.float32).reshape(-1, 3)
+    voxel = h + 1e-8
+    keys = np.floor((pos - pos.min(0)) / voxel).astype(np.int64)
+    _, inverse, counts = np.unique(
+        keys, axis=0, return_inverse=True, return_counts=True
+    )
+    sums = np.zeros((counts.shape[0], 3), np.float64)
+    np.add.at(sums, inverse, pos)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+def get_distribution_info(points: np.ndarray):
+    """(centroid, min bound, max bound) of a cloud (reference
+    train_utils.py:201-211)."""
+    return points.mean(0), points.min(0), points.max(0)
+
+
+def dump_pointcloud_visualization(pos: np.ndarray, filename: str) -> None:
+    """Headless scatter render to PNG via matplotlib (reference
+    train_utils.py:224-238 used Open3D's offscreen capture)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        np.save(filename + ".npy", pos)
+        return
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(pos[:, 0], pos[:, 2], pos[:, 1], s=0.5)
+    ax.set_axis_off()
+    fig.savefig(filename, dpi=120, bbox_inches="tight")
+    plt.close(fig)
 
 
 def fixed_radius_neighbor_num(pos: np.ndarray, radius: float) -> np.ndarray:

@@ -41,6 +41,17 @@ BIG = jnp.float32(1e10)
 # against 16k candidates is a 128 MB f32 tile per batch element at most.
 _CHUNK = 2048
 
+# Candidate-count ceiling for the fused Pallas kNN kernel (VMEM scratch is
+# TILE_Q * Nc * 4 bytes); beyond this the chunked XLA path takes over.
+_PALLAS_MAX_NC = 24576
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
 
 def pairwise_sqdist(query: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
     """Squared euclidean distance between every query and candidate point.
@@ -124,6 +135,21 @@ def knn(
         cand = query
     nc = cand.shape[-2]
     k_eff = min(k, nc)
+
+    if (
+        _on_tpu()
+        and query.ndim == 3
+        and nc <= _PALLAS_MAX_NC
+        and k_eff == k
+        and query.dtype == jnp.float32
+    ):
+        from tpugan_tpu.ops.pallas.knn_kernel import knn_pallas
+
+        if c_valid is None:
+            bias = jnp.zeros(cand.shape[:-1], jnp.float32)
+        else:
+            bias = jnp.where(c_valid, 0.0, BIG)
+        return knn_pallas(query, cand, bias, k)
 
     def one_chunk(q):
         d2 = _masked_sqdist(q, cand, c_valid)
@@ -245,6 +271,11 @@ def fps(
         first_valid = jnp.argmax(valid, axis=-1).astype(jnp.int32)
         start_ok = jnp.take_along_axis(valid, start[:, None], axis=1)[:, 0]
         start = jnp.where(start_ok, start, first_valid)
+
+    if _on_tpu() and pos.dtype == jnp.float32 and pos.shape[-1] == 3:
+        from tpugan_tpu.ops.pallas.fps_kernel import fps_pallas
+
+        return fps_pallas(pos, npoint, sel_penalty, start)
 
     idx0 = start
     sel0 = jnp.take_along_axis(pos, idx0[:, None, None], axis=1)  # [B,1,3]
