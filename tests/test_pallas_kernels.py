@@ -86,3 +86,30 @@ def test_fps_pallas_respects_penalty(rng):
     idx = np.asarray(fps_pallas(pos, 40, pen, jnp.zeros((1,), jnp.int32)))
     assert np.all(idx < 60)
     assert len(np.unique(idx[0])) == 40
+
+
+def test_ball_query_pallas_matches_reference_semantics(rng):
+    from tpugan_tpu.ops.pallas.ball_query_kernel import ball_query_pallas
+
+    q = jnp.asarray(rng.standard_normal((1, 40, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((1, 70, 3)).astype(np.float32))
+    r, ns = 0.9, 6
+    idx = np.asarray(ball_query_pallas(q, c, r, ns, jnp.zeros((1, 70))))
+    d2 = np.sum((np.asarray(q)[0][:, None] - np.asarray(c)[0][None]) ** 2, -1)
+    for i in range(40):
+        hits = np.nonzero(d2[i] < r * r)[0][:ns]
+        if len(hits) == 0:
+            np.testing.assert_array_equal(idx[0, i], 0)
+        else:
+            pad = np.full(ns - len(hits), hits[0])
+            np.testing.assert_array_equal(idx[0, i], np.concatenate([hits, pad]))
+
+
+def test_ball_query_pallas_respects_mask(rng):
+    from tpugan_tpu.ops.pallas.ball_query_kernel import ball_query_pallas
+
+    q = jnp.asarray(rng.standard_normal((1, 16, 3)).astype(np.float32) * 0.1)
+    c = jnp.asarray(rng.standard_normal((1, 32, 3)).astype(np.float32) * 0.1)
+    bias = jnp.where(jnp.arange(32)[None] < 20, 0.0, 2.0)
+    idx = np.asarray(ball_query_pallas(q, c, 1.0, 8, bias))
+    assert np.all(idx < 20)

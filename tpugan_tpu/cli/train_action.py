@@ -34,6 +34,9 @@ def get_arguments(parser: argparse.ArgumentParser):
     add("--dump_visualization", action="store_true")
     add("--synthetic", action="store_true")
     add("--data_parallel", action="store_true")
+    add("--profile", action="store_true",
+        help="capture a jax.profiler device trace of steps 10-15 into "
+             "<log_dir>/profile")
     add("--seed", type=int, default=1)
     return parser.parse_args()
 
@@ -114,10 +117,16 @@ def main():
         step_key, sub = jax.random.split(step_key)
         if mesh is not None:
             sub = jax.device_put(sub, replicated(mesh))
+        if opt.profile and n_iter == 10:
+            jax.profiler.start_trace(os.path.join(cfg.log_dir, "profile"))
         state, metrics = step(state, feed, sub)
         n_iter += 1
         timer.step_done()
         writer.add(n_iter, metrics)
+        if opt.profile and n_iter == 15:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {cfg.log_dir}/profile")
 
         if n_iter % 50 == 0:
             host = {k: float(np.asarray(v)) for k, v in metrics.items()}

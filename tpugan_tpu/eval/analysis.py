@@ -141,6 +141,37 @@ def particle_dns2grid_dns(
     return np.asarray(dns)[0][:, None]
 
 
+def nearest_set(pcd: np.ndarray, reference_pcd: np.ndarray):
+    """Unique nearest-reference indices and their multiplicities (reference
+    analysis_helper.py:284-288)."""
+    from scipy.spatial import cKDTree
+
+    _, idx = cKDTree(reference_pcd).query(pcd, k=1)
+    return np.unique(idx, return_counts=True)
+
+
+def get_1st_derivative(y: np.ndarray, dt) -> np.ndarray:
+    """Temporal gradient of a per-frame signal (reference
+    analysis_helper.py:163-165)."""
+    return np.gradient(y, edge_order=dt)
+
+
+def get_2nd_derivative(y: np.ndarray, dt) -> np.ndarray:
+    return np.gradient(np.gradient(y, edge_order=dt), edge_order=dt)
+
+
+def eval_spatial_grid_gradient(field: np.ndarray, grid: np.ndarray):
+    """Per-axis spatial gradients of a gridded density field (reference
+    analysis_helper.py:297-303)."""
+    if field.shape != grid.shape:
+        field = field.reshape(grid.shape)
+    return (
+        np.gradient(field, axis=0),
+        np.gradient(field, axis=1),
+        np.gradient(field, axis=2),
+    )
+
+
 def free_surface_particle_count_diff(
     pos_pred: np.ndarray, pos_gt: np.ndarray, radius: float = 0.025
 ) -> int:

@@ -54,12 +54,16 @@ class EdgeConv(nn.Module):
         feat: jnp.ndarray,                 # [B, N, C]
         pos: Optional[jnp.ndarray] = None,  # [B, N, 3]
         train: bool = True,
+        idx: Optional[jnp.ndarray] = None,  # precomputed kNN [B, N, >=k]
     ) -> jnp.ndarray:
-        graph_src = pos if pos is not None else feat
         # dilated kNN: k neighbors, stride `dilation` (reference Dilated,
-        # gcn_lib/pointnet/gcn.py:48-72; stochastic mode unused by models)
-        _, idx = knn(graph_src, k=self.k)
-        idx = idx[:, :, :: self.dilation]
+        # gcn_lib/pointnet/gcn.py:48-72; stochastic mode unused by models).
+        # Callers that already hold a kNN list over the same graph source
+        # (IDGCNLayer's three branches share one) pass it via ``idx``.
+        if idx is None:
+            graph_src = pos if pos is not None else feat
+            _, idx = knn(graph_src, k=self.k)
+        idx = idx[:, :, : self.k : self.dilation]
 
         neighbor = group(feat, idx)                 # [B, N, k', C]
         center = feat[:, :, None, :]
@@ -100,13 +104,19 @@ class IDGCNLayer(nn.Module):
                         spectral_norm=self.spectral_norm)
         x = btn(feat, train=train)                  # [B, N, C/4]
 
-        _, idx = knn(x, k=9)
-        local_max = jnp.max(group(x, idx), axis=2)  # [B, N, C/4]
+        # All three branches (reference gcn_lib/pointnet/gcn.py:258-265)
+        # build graphs from the same bottleneck features: local kNN is the
+        # 9-prefix and the dilated EdgeConv the ::2 stride of one shared
+        # kNN(20) list — identical results, one kernel instead of three.
+        _, idx20 = knn(x, k=20)
+        local_max = jnp.max(group(x, idx20[:, :, :9]), axis=2)  # [B, N, C/4]
 
         feat1 = EdgeConv(c // 4, k=20, dilation=1, norm=self.norm,
-                         spectral_norm=self.spectral_norm)(x, train=train)
+                         spectral_norm=self.spectral_norm)(x, train=train,
+                                                           idx=idx20)
         feat2 = EdgeConv(c // 4, k=20, dilation=2, norm=self.norm,
-                         spectral_norm=self.spectral_norm)(x, train=train)
+                         spectral_norm=self.spectral_norm)(x, train=train,
+                                                           idx=idx20)
 
         y = jnp.concatenate([local_max, feat1, feat2], axis=-1)
         y = ConvLayer(self.out_features, act=leaky_relu_02, norm=self.norm,

@@ -25,6 +25,24 @@ def nearest_neighbor(
 
     Returns (sqdist [B, Nq], idx [B, Nq] int32).
     """
+    from tpugan_tpu.ops.neighbors import _PALLAS_MAX_NC, _on_tpu
+
+    if (
+        _on_tpu()
+        and query.ndim == 3
+        and cand.shape[-2] <= _PALLAS_MAX_NC
+        and query.dtype == jnp.float32
+    ):
+        # k=1 case of the fused Pallas kNN kernel (differentiable d2)
+        from tpugan_tpu.ops.pallas.knn_kernel import knn_pallas
+
+        if c_valid is None:
+            bias = jnp.zeros(cand.shape[:-1], jnp.float32)
+        else:
+            bias = jnp.where(c_valid, 0.0, BIG)
+        d2, idx = knn_pallas(query, cand, bias, 1)
+        return d2[..., 0], idx[..., 0]
+
     def one_chunk(q):
         d2 = pairwise_sqdist(q, cand)
         if c_valid is not None:

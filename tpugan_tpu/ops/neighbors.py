@@ -213,6 +213,20 @@ def ball_query(
     nc = cand.shape[-2]
     r2 = jnp.float32(radius) ** 2
 
+    if (
+        _on_tpu()
+        and query.ndim == 3
+        and nc <= _PALLAS_MAX_NC
+        and query.dtype == jnp.float32
+    ):
+        from tpugan_tpu.ops.pallas.ball_query_kernel import ball_query_pallas
+
+        if c_valid is None:
+            bias = jnp.zeros(cand.shape[:-1], jnp.float32)
+        else:
+            bias = jnp.where(c_valid, 0.0, 2.0)
+        return ball_query_pallas(query, cand, radius, nsample, bias)
+
     def one_chunk(q):
         d2 = pairwise_sqdist(q, cand)
         within = d2 < r2

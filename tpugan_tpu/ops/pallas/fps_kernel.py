@@ -78,6 +78,10 @@ def fps_pallas(
     """FPS indices [B, m] int32; round i maximizes min distance to rounds
     < i, starting from ``start`` (pointnet2 uses 0)."""
     b, n, _ = pos.shape
+    # Index selection is non-differentiable; cut tangents so pallas_call
+    # never sees a JVP trace (callers gather with the raw pos for grads).
+    pos = jax.lax.stop_gradient(pos)
+    valid_penalty = jax.lax.stop_gradient(valid_penalty)
     pos_t = jnp.swapaxes(pos, 1, 2)                # [B, 3, N]
     kernel = functools.partial(_fps_kernel, m=m)
     grid_spec = pltpu.PrefetchScalarGridSpec(
