@@ -37,7 +37,14 @@ CHAIN_LONG = 12
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    os.makedirs(os.path.expanduser("~/.cache/tpugan_jax"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/tpugan_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
     from tpugan_tpu.models import SRNet

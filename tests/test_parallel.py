@@ -70,3 +70,40 @@ def test_sharded_batch_layout(rng):
     sb = device_put_batch(batch, mesh)
     shard = sb["lowres_pos"].addressable_shards[0]
     assert shard.data.shape == (3, 1, CFG.lowres_size, 3)  # B split 8 ways
+
+
+def test_sharded_knn_matches_unsharded(rng):
+    from tpugan_tpu.ops.neighbors import knn
+    from tpugan_tpu.parallel.sharded_ops import sharded_knn
+
+    mesh = make_mesh(8)
+    q = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32))
+    d2s, idxs = sharded_knn(q, c, 8, mesh)
+    d2, idx = knn(q, c, 8)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(idx))
+    np.testing.assert_allclose(np.asarray(d2s), np.asarray(d2), atol=1e-5)
+
+
+def test_sharded_chamfer_matches_unsharded(rng):
+    from tpugan_tpu.ops.metrics import chamfer
+    from tpugan_tpu.parallel.sharded_ops import sharded_chamfer
+
+    mesh = make_mesh(8)
+    a = jnp.asarray(rng.standard_normal((2, 128, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 256, 3)).astype(np.float32))
+    got = np.asarray(sharded_chamfer(a, b, mesh))
+    want = np.asarray(chamfer(a, b))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sharded_ball_query_matches_unsharded(rng):
+    from tpugan_tpu.ops.neighbors import ball_query
+    from tpugan_tpu.parallel.sharded_ops import sharded_ball_query
+
+    mesh = make_mesh(8)
+    q = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((1, 128, 3)).astype(np.float32))
+    got = np.asarray(sharded_ball_query(q, c, 0.8, 8, mesh))
+    want = np.asarray(ball_query(q, c, 0.8, 8))
+    np.testing.assert_array_equal(got, want)

@@ -20,7 +20,18 @@ import numpy as np
 import optax
 
 
+
+def _enable_compile_cache():
+    import jax
+
+    os.makedirs(os.path.expanduser("~/.cache/tpugan_jax"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/tpugan_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
 def main():
+    _enable_compile_cache()
     p = argparse.ArgumentParser(description="Eval temporal-D features")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--epochs", type=int, default=60)

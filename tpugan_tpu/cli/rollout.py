@@ -17,7 +17,18 @@ import jax
 import numpy as np
 
 
+
+def _enable_compile_cache():
+    import jax
+
+    os.makedirs(os.path.expanduser("~/.cache/tpugan_jax"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/tpugan_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
 def main():
+    _enable_compile_cache()
     p = argparse.ArgumentParser(description="TPU-GAN sequence rollout")
     p.add_argument("--data_dir", type=str, default=None,
                    help="directory with data_{i}.npz frames")

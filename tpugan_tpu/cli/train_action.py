@@ -41,7 +41,18 @@ def get_arguments(parser: argparse.ArgumentParser):
     return parser.parse_args()
 
 
+
+def _enable_compile_cache():
+    import jax
+
+    os.makedirs(os.path.expanduser("~/.cache/tpugan_jax"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/tpugan_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
 def main():
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(description="Train action GAN")
     opt = get_arguments(parser)
     print("Using following options")

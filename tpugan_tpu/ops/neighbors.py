@@ -310,6 +310,42 @@ def fps(
     return idx_buf
 
 
+def dilated_knn_graph(
+    x: jnp.ndarray,
+    k: int = 9,
+    dilation: int = 1,
+    c_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """k//dilation neighbor indices by dilated kNN (reference
+    ``DilatedKnnGraph`` / ``Dilated``, gcn_lib/pointnet/gcn.py:48-93; the
+    stochastic-epsilon mode there is dead code for the models and is not
+    reproduced)."""
+    _, idx = knn(x, k=k, c_valid=c_valid)
+    return idx[:, :, ::dilation]
+
+
+def knn_graph(x: jnp.ndarray, k: int = 9,
+              c_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Plain kNN edge list (reference ``KNNGraph``,
+    gcn_lib/graph_utils.py:65-87) as padded [B, N, k] indices."""
+    _, idx = knn(x, k=k, c_valid=c_valid)
+    return idx
+
+
+def fixed_radius_graph(
+    x: jnp.ndarray,
+    radius: float,
+    k: int = 32,
+    c_valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Radius-bounded neighbor list (reference ``FixedRadiusGraph``,
+    gcn_lib/graph_utils.py:39-62): [B, N, k] indices + in-range mask; use
+    ``jnp.where(mask, idx, -1)`` for the reference's -1 padding."""
+    _, idx, in_range = radius_mask_knn(x, x, k=k, radius=radius,
+                                       c_valid=c_valid)
+    return idx, in_range
+
+
 def gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched index gather: points [B, N, C], idx [B, M] -> [B, M, C].
 

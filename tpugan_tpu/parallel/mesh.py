@@ -82,3 +82,13 @@ def device_put_batch(batch, mesh: Mesh):
 def device_put_replicated(tree, mesh: Mesh):
     repl = replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), tree)
+
+
+def host_local_batch_to_global(batch, mesh: Mesh, batch_axis: int = 1):
+    """Multi-host input sharding: each process holds its local slice of the
+    global batch; assemble global arrays addressable by the mesh. This is
+    the per-host data sharding of SURVEY.md §2.4's TPU-native plan."""
+    sharding = batch_sharded(mesh, batch_axis)
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(sharding, a), batch
+    )
