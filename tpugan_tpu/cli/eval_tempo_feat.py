@@ -51,7 +51,7 @@ def main():
     from tpugan_tpu.config import ActionTrainConfig
     from tpugan_tpu.data import MSRAction3DDataset, action_batch_iterator
     from tpugan_tpu.data.synthetic import make_synthetic_action_dataset
-    from tpugan_tpu.models import ActionCls, ActionTempoDis, transfer_feature_extractor
+    from tpugan_tpu.models import ActionCls, transfer_feature_extractor
     from tpugan_tpu.train import init_action_state, load_checkpoint
     from tpugan_tpu.utils import MetricWriter
 

@@ -11,7 +11,7 @@ resample/pad every frame to ``num_points``, flip y, (train) random scale
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 

@@ -13,8 +13,6 @@ identically.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from tpugan_tpu.config import DT

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpugan_tpu.config import DT
-from tpugan_tpu.ops.interpolate import bicubic_kernel, cubic_interpolation
+from tpugan_tpu.ops.interpolate import cubic_interpolation
 from tpugan_tpu.ops.metrics import auction_assignment, chamfer, gaussian_mmd
 from tpugan_tpu.ops.neighbors import radius_mask_knn
 

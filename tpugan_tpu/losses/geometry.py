@@ -11,8 +11,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpugan_tpu.ops.interpolate import cubic_interpolation  # re-export convenience
-from tpugan_tpu.ops.metrics import chamfer, emd_loss, masking_target, nearest_neighbor
+from tpugan_tpu.ops.metrics import chamfer, masking_target
 from tpugan_tpu.ops.neighbors import radius_mask_knn
 
 

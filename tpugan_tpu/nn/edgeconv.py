@@ -9,7 +9,7 @@ the elementwise work into the surrounding matmuls.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -29,7 +29,6 @@ materialized; we map over query chunks, which keeps peak memory at
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -17,7 +17,7 @@ the batch via ``jax.make_array_from_process_local_data``.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

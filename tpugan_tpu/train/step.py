@@ -23,8 +23,7 @@ with F = 3 frames and m = n * upsample_ratio.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -81,20 +80,6 @@ def _maybe_rotate_frames(key, do_rot, pos):
 def _apply_rots(pos, rots, do_rot):
     rotated = jnp.einsum("fbnd,fde->fbne", pos, rots)
     return jnp.where(do_rot, rotated, pos)
-
-
-def _shuffle_points(key, x_and_valids):
-    """Apply one random point permutation per frame (torch.randperm analog,
-    train_step_final.py:120,140) to matching [..., N, .] arrays."""
-    outs = []
-    for key_f, arrays in zip(jax.random.split(key, len(x_and_valids)), x_and_valids):
-        n = arrays[0].shape[-2] if arrays[0].ndim >= 2 else arrays[0].shape[-1]
-        perm = jax.random.permutation(key_f, n)
-        outs.append(tuple(
-            a[..., perm, :] if a.ndim >= 2 and a.shape[-2] == n else a[..., perm]
-            for a in arrays
-        ))
-    return outs
 
 
 # ---------------------------------------------------------------------------
