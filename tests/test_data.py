@@ -151,3 +151,10 @@ def test_sample_patch_voxel_flavor(rng):
     assert patch.shape[0] == 8192
     assert ds.shape[0] >= 500
     assert surface.shape[0] > 0
+
+
+def test_prefetch_iterator_preserves_order():
+    from tpugan_tpu.data.prefetch import prefetch_iterator
+
+    out = list(prefetch_iterator(iter(range(50)), size=4))
+    assert out == list(range(50))

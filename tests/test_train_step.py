@@ -163,3 +163,18 @@ def test_checkpoint_roundtrip(rng, tmp_path):
     assert not os.path.exists(
         os.path.join(tmp_path, "ckpt", "tpugan_checkpoint1.ckpt")
     )
+
+
+def test_async_checkpoint(rng, tmp_path, action_setup):
+    from tpugan_tpu.train.checkpoint import save_checkpoint_async
+
+    _, _, state = action_setup
+    path = os.path.join(tmp_path, "actx", "ck1.ckpt")
+    fut = save_checkpoint_async(state, path, max_keep=2)
+    fut.result(timeout=60)
+    assert os.path.exists(path)
+    _, _, fresh = init_action_state(TINY_ACTION, jax.random.PRNGKey(9))
+    restored = load_checkpoint(path, fresh)
+    a = jax.tree_util.tree_leaves(jax.device_get(state.sr.params))
+    b = jax.tree_util.tree_leaves(restored.sr.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))

@@ -64,9 +64,9 @@ def main():
     from tpugan_tpu.parallel import make_mesh
     from tpugan_tpu.parallel.mesh import device_put_batch, device_put_replicated, replicated
     from tpugan_tpu.train import (
-        init_action_state, load_checkpoint, make_action_gan_step,
-        save_checkpoint, ensure_dir,
+        init_action_state, load_checkpoint, make_action_gan_step, ensure_dir,
     )
+    from tpugan_tpu.train.checkpoint import save_checkpoint_async
     from tpugan_tpu.train.state import param_count
     from tpugan_tpu.utils import MetricWriter, StepTimer
 
@@ -90,7 +90,11 @@ def main():
         cfg.data_dir, frames_per_clip=cfg.frames_per_clip,
         num_points=cfg.num_points, fps_ratio=cfg.fps_ratio, seed=cfg.seed,
     )
-    batches = action_batch_iterator(dataset, cfg.batch_size, seed=cfg.seed)
+    from tpugan_tpu.data.prefetch import prefetch_iterator
+
+    batches = prefetch_iterator(
+        action_batch_iterator(dataset, cfg.batch_size, seed=cfg.seed), size=2
+    )
 
     print("Building network")
     models, txs, state = init_action_state(cfg, jax.random.PRNGKey(cfg.seed))
@@ -150,12 +154,14 @@ def main():
             )
 
         if (n_iter - 1) % cfg.ckpt_every == 0 or n_iter >= cfg.iters:
-            save_checkpoint(
+            ckpt_future = save_checkpoint_async(
                 state,
                 os.path.join(checkpoint_dir, f"tpugan_checkpoint{n_iter}.ckpt"),
                 max_keep=5,
             )
 
+    if "ckpt_future" in dir():
+        ckpt_future.result()  # join the async writer before exit
     writer.close()
     print("exiting...")
 

@@ -80,9 +80,9 @@ def main():
     from tpugan_tpu.parallel import make_mesh
     from tpugan_tpu.parallel.mesh import device_put_batch, device_put_replicated, replicated
     from tpugan_tpu.train import (
-        init_fluid_state, load_checkpoint, make_fluid_gan_step,
-        save_checkpoint, ensure_dir,
+        init_fluid_state, load_checkpoint, make_fluid_gan_step, ensure_dir,
     )
+    from tpugan_tpu.train.checkpoint import save_checkpoint_async
     from tpugan_tpu.train.state import param_count
     from tpugan_tpu.utils import MetricWriter, StepTimer
 
@@ -120,7 +120,11 @@ def main():
         sample_num=cfg.patch_size, fps_ratio=cfg.fps_ratio,
         jitter=cfg.jitter, seed=cfg.seed,
     )
-    batches = fluid_batch_iterator(dataset, cfg.batch_size, seed=cfg.seed)
+    from tpugan_tpu.data.prefetch import prefetch_iterator
+
+    batches = prefetch_iterator(
+        fluid_batch_iterator(dataset, cfg.batch_size, seed=cfg.seed), size=2
+    )
 
     print("Building network")
     key = jax.random.PRNGKey(cfg.seed)
@@ -178,7 +182,7 @@ def main():
             )
 
         if (n_iter - 1) % cfg.ckpt_every == 0 or n_iter >= cfg.iters:
-            save_checkpoint(
+            ckpt_future = save_checkpoint_async(
                 state,
                 os.path.join(checkpoint_dir, f"tpugan_checkpoint{n_iter}.ckpt"),
                 max_keep=5,
@@ -186,6 +190,8 @@ def main():
             if cfg.dump_visualization:
                 _dump_samples(models[0], state, batch, cfg, n_iter)
 
+    if "ckpt_future" in dir():
+        ckpt_future.result()  # join the async writer before exit
     writer.close()
     print("exiting...")
 

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Dict, Iterator
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
@@ -53,6 +55,7 @@ class SiamFluidDataset:
         self.cache_size = cache_size
         self.rng = np.random.default_rng(seed)
         self.py_rng = random.Random(seed)
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return self.case_num * (self.case_steps - 2)
@@ -61,14 +64,23 @@ class SiamFluidDataset:
         if self.cache_size == 0:
             with np.load(os.path.join(self.dataset_path, key)) as z:
                 return {"pos": z["pos"], "vel": z["vel"]}
-        if key not in self.cache:
+        with self._cache_lock:
+            if key in self.cache:
+                return self.cache[key]
+        with np.load(os.path.join(self.dataset_path, key)) as z:
+            data = {"pos": z["pos"], "vel": z["vel"]}
+        with self._cache_lock:
             if len(self.cache) >= self.cache_size:
                 self.cache.pop(self.py_rng.choice(list(self.cache.keys())))
-            with np.load(os.path.join(self.dataset_path, key)) as z:
-                self.cache[key] = {"pos": z["pos"], "vel": z["vel"]}
-        return self.cache[key]
+            self.cache[key] = data
+        return data
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def __getitem__(
+        self, idx: int, rng: Optional[np.random.Generator] = None
+    ) -> Dict[str, np.ndarray]:
+        # ``rng`` enables thread-parallel batch assembly (Generator objects
+        # are not thread-safe; the iterator hands each item its own stream)
+        rng = rng or self.rng
         case = idx // self.case_steps + self.case_to_start
         step = idx % (self.case_steps - 2)
         frames = [
@@ -86,14 +98,14 @@ class SiamFluidDataset:
 
         _, patch_idx, fps_idx = sample_patch_with_fps(
             pos[1], sample_num=self.sample_num, fps_ratio=self.fps_ratio,
-            rng=self.rng,
+            rng=rng,
         )
 
         highres_pos = np.stack([p[patch_idx] for p in pos])        # [3, m, 3]
         highres_vel = np.stack([v[patch_idx] for v in vel])
         lowres_pos = highres_pos[:, fps_idx]                        # [3, n, 3]
         lowres_vel = highres_vel[:, fps_idx]
-        lowres_pos = lowres_pos + self.rng.standard_normal(
+        lowres_pos = lowres_pos + rng.standard_normal(
             lowres_pos.shape
         ).astype(np.float32) * self.jitter
 
@@ -117,11 +129,22 @@ def fluid_batch_iterator(
     [3, B, N, 3] (+ per-sample h [B]); mirrors the reference's cycling
     DataLoader (train_tempo.py:208-222)."""
     rng = np.random.default_rng(seed)
+    seed_seq = np.random.SeedSequence(seed + 1)
     n = len(dataset)
+    # numpy/scipy and the native C++ kernels release the GIL, so a thread
+    # pool gives real parallel item assembly (the torch-DataLoader-workers
+    # analog, without process/pickling overhead).
+    pool = ThreadPoolExecutor(max_workers=min(8, max(2, batch_size)))
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n - batch_size + 1, batch_size):
-            items = [dataset[int(i)] for i in order[start:start + batch_size]]
+            child_seeds = seed_seq.spawn(batch_size)
+            items = list(pool.map(
+                lambda args: dataset.__getitem__(
+                    int(args[0]), rng=np.random.default_rng(args[1])
+                ),
+                zip(order[start:start + batch_size], child_seeds),
+            ))
             yield {
                 "highres_pos": np.stack([x["highres_pos"] for x in items], axis=1),
                 "highres_vel": np.stack([x["highres_vel"] for x in items], axis=1),

@@ -108,6 +108,32 @@ def density_loss(pred_pos: jnp.ndarray, particle_radius: float) -> jnp.ndarray:
     return jnp.mean(jnp.sum(smeared, axis=-1))
 
 
+def density(pcd_pos: jnp.ndarray, h: float, k: int = 32) -> jnp.ndarray:
+    """Per-particle density estimate sum(relu(cutoff/d - 1)) over <=32
+    neighbors within 2.1h (reference loss.py:100-118). pcd_pos: [N, 3] ->
+    [N, 1]."""
+    cutoff = 2.1 * h
+    d2, _, in_range = radius_mask_knn(
+        pcd_pos[None], pcd_pos[None], k=k, radius=cutoff
+    )
+    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    ok = in_range & (d2 > 1e-8)
+    contrib = jnp.where(ok, jnp.maximum(cutoff / d - 1.0, 0.0), 0.0)
+    return jnp.sum(contrib, axis=-1)[0][:, None]
+
+
+def refinement_loss(
+    w: float,
+    free_gt: jnp.ndarray,
+    pos_pred: jnp.ndarray,
+    particle_radius: float,
+):
+    """free_particle_loss + w * density_loss (reference loss.py:246-250)."""
+    free = free_particle_loss(free_gt, pos_pred, particle_radius)
+    dns = density_loss(pos_pred, particle_radius)
+    return free + w * dns, free, dns
+
+
 def dense_loss(pred_prob: jnp.ndarray, h: float,
                furthest_distance: float = 1.0) -> jnp.ndarray:
     """Mean absolute keep-probability mass scaled by 1/h (reference

@@ -8,8 +8,15 @@ from tpugan_tpu.train.step import (
     make_action_gan_step,
     get_rotation_matrix,
     advect_particle,
+    rotate_lst,
+    interpolate_vel_lst,
 )
-from tpugan_tpu.train.checkpoint import save_checkpoint, load_checkpoint, ensure_dir
+from tpugan_tpu.train.checkpoint import (
+    save_checkpoint,
+    save_checkpoint_async,
+    load_checkpoint,
+    ensure_dir,
+)
 
 __all__ = [
     "NetState",
@@ -23,7 +30,10 @@ __all__ = [
     "make_action_gan_step",
     "get_rotation_matrix",
     "advect_particle",
+    "rotate_lst",
+    "interpolate_vel_lst",
     "save_checkpoint",
+    "save_checkpoint_async",
     "load_checkpoint",
     "ensure_dir",
 ]

@@ -15,12 +15,19 @@ from __future__ import annotations
 
 import os
 import shutil
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Optional
 
 import jax
 from flax import serialization
 
 from tpugan_tpu.train.state import GanTrainState
+
+# Single-writer executor: checkpoint serialization + disk I/O happen off the
+# training loop's critical path (the lightweight analog of orbax async
+# checkpointing; jax arrays are immutable so handing the state to a thread
+# is safe).
+_EXECUTOR = ThreadPoolExecutor(max_workers=1)
 
 
 def ensure_dir(dir_name: str) -> None:
@@ -73,6 +80,17 @@ def save_checkpoint(
 
     if is_best:
         shutil.copyfile(save_path, os.path.join(save_dir, "best_model.ckpt"))
+
+
+def save_checkpoint_async(
+    state: GanTrainState,
+    save_path: str,
+    is_best: bool = False,
+    max_keep: Optional[int] = None,
+) -> Future:
+    """Queue a checkpoint save on the background writer thread; returns a
+    Future (call ``.result()`` to join, e.g. before process exit)."""
+    return _EXECUTOR.submit(save_checkpoint, state, save_path, is_best, max_keep)
 
 
 def load_checkpoint(

@@ -82,6 +82,38 @@ def _apply_rots(pos, rots, do_rot):
     return jnp.where(do_rot, rotated, pos)
 
 
+def rotate_lst(key: jax.Array, pos_frames: jnp.ndarray,
+               vel_frames=None):
+    """Public per-frame random-rotation augmentation (reference
+    ``rotate_lst``, train_step_final.py:38-48) on [F, B, N, 3] stacks.
+    Returns the rotated positions (and velocities when given)."""
+    rotated, rots = _maybe_rotate_frames(key, jnp.asarray(True), pos_frames)
+    if vel_frames is not None:
+        return rotated, _apply_rots(vel_frames, rots, jnp.asarray(True))
+    return rotated
+
+
+def interpolate_vel_lst(
+    pred_pos_frames: jnp.ndarray,   # [F, B, M, 3]
+    gt_pos_frames: jnp.ndarray,     # [F, B, N, 3]
+    gt_vel_frames: jnp.ndarray,     # [F, B, N, 3]
+    cutoff: float,
+):
+    """Transfer ground-truth advection (vel * DT) onto predicted particles
+    per frame by SPH-kernel interpolation (reference ``interpolate_vel_lst``,
+    train_step_final.py:51-66). Returns (gt_adv, pred_adv), both
+    stop-gradiented like the reference's no_grad block."""
+    gt_adv = gt_vel_frames * DT
+    interp = jax.vmap(jax.vmap(
+        cubic_interpolation, in_axes=(0, 0, 0, None)
+    ), in_axes=(0, 0, 0, None))
+    pred_adv = jax.lax.stop_gradient(
+        interp(jax.lax.stop_gradient(pred_pos_frames), gt_adv,
+               gt_pos_frames, cutoff)
+    )
+    return gt_adv, pred_adv
+
+
 # ---------------------------------------------------------------------------
 # model builders
 
@@ -232,14 +264,10 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
                     [valid[0][:, p0], valid[1], valid[2][:, p2]]
                 )
                 if cfg.use_vel:
-                    gt_adv = highres_vel * DT                     # [3,B,m,3]
-                    interp = jax.vmap(jax.vmap(
-                        cubic_interpolation, in_axes=(0, 0, 0, None)
-                    ), in_axes=(0, 0, 0, None))
-                    pred_adv = jax.lax.stop_gradient(interp(
-                        jax.lax.stop_gradient(pred_seq), gt_adv, highres_pos,
+                    gt_adv, pred_adv = interpolate_vel_lst(
+                        pred_seq, highres_pos, highres_vel,
                         1.6 * cfg.R / furthest_distance,
-                    ))
+                    )
                     feat_lst = [pred_adv[i] for i in range(3)]
                 else:
                     gt_adv = jnp.zeros_like(highres_vel)
