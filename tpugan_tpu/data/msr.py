@@ -11,7 +11,8 @@ resample/pad every frame to ``num_points``, flip y, (train) random scale
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Tuple
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -62,29 +63,34 @@ class MSRAction3DDataset:
     def __len__(self) -> int:
         return len(self.index_map)
 
-    def _resample_frame(self, p: np.ndarray) -> np.ndarray:
+    def _resample_frame(self, p: np.ndarray, rng) -> np.ndarray:
         """Random subsample or tile-pad to num_points; flip y (reference
         msr_dataset.py:68-76)."""
         n = p.shape[0]
         if n > self.num_points:
-            r = self.rng.choice(n, self.num_points, replace=False)
+            r = rng.choice(n, self.num_points, replace=False)
         else:
             repeat, residue = self.num_points // n, self.num_points % n
             r = np.concatenate(
                 [np.arange(n)] * repeat
-                + [self.rng.choice(n, residue, replace=False)]
+                + [rng.choice(n, residue, replace=False)]
             )
         p = p.copy()
         p[:, 1] = -p[:, 1]
         return p[r, :]
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx: int,
+                    rng: Optional[np.random.Generator] = None):
+        # ``rng`` enables thread-parallel batch assembly (Generator objects
+        # are not thread-safe)
+        rng = rng or self.rng
         index, t = self.index_map[idx]
         label = self.labels[index]
         video = self.videos[index]
         clip = [
             self._resample_frame(
-                np.asarray(video[t + i * self.step_between_clips], np.float64)
+                np.asarray(video[t + i * self.step_between_clips], np.float64),
+                rng,
             )
             for i in range(self.frames_per_clip)
         ]
@@ -92,7 +98,7 @@ class MSRAction3DDataset:
 
         centers = None
         if self.train:
-            clip = clip * self.rng.uniform(0.9, 1.1, 3)
+            clip = clip * rng.uniform(0.9, 1.1, 3)
             clip /= 300.0
             clip -= np.mean(clip[len(clip) // 2], axis=0)
         else:
@@ -107,7 +113,7 @@ class MSRAction3DDataset:
             k = int(self.num_points * self.fps_ratio)
             low = []
             for f in range(self.frames_per_clip):
-                fps_idx, _ = farthest_point_sampling(highres[f], k, rng=self.rng)
+                fps_idx, _ = farthest_point_sampling(highres[f], k, rng=rng)
                 low.append(highres[f][fps_idx])
             out["lowres_pos"] = np.stack(low)
         if not self.train and centers is not None:
@@ -125,11 +131,19 @@ def action_batch_iterator(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Batch iterator emitting frame-major [F, B, N, 3] arrays."""
     rng = np.random.default_rng(seed)
+    seed_seq = np.random.SeedSequence(seed + 1)
     n = len(dataset)
+    pool = ThreadPoolExecutor(max_workers=min(8, max(2, batch_size)))
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n - batch_size + 1, batch_size):
-            items = [dataset[int(i)] for i in order[start:start + batch_size]]
+            child_seeds = seed_seq.spawn(batch_size)
+            items = list(pool.map(
+                lambda args: dataset.__getitem__(
+                    int(args[0]), rng=np.random.default_rng(args[1])
+                ),
+                zip(order[start:start + batch_size], child_seeds),
+            ))
             batch = {
                 "highres_pos": np.stack([x["highres_pos"] for x in items], axis=1),
                 "label": np.stack([x["label"] for x in items]),

@@ -25,6 +25,11 @@ BIGI = 1 << 29
 TILE_Q = 128
 
 
+def _tile_q(nc: int) -> int:
+    # scratch TILE_Q * Nc * 4B must stay under the ~14MB scoped-vmem budget
+    return 256 if nc <= 12288 else 128
+
+
 def _ball_kernel(q_ref, c_ref, v_ref, idx_ref, scratch, *, nsample, radius):
     q = q_ref[0]                                   # [TQ, D]
     c = c_ref[0]                                   # [Nc, D]
@@ -62,7 +67,8 @@ def ball_query_pallas(
     query = jax.lax.stop_gradient(query)
     cand = jax.lax.stop_gradient(cand)
     cvalid_bias = jax.lax.stop_gradient(cvalid_bias)
-    pad_q = (-nq) % TILE_Q
+    tile_q = _tile_q(nc)
+    pad_q = (-nq) % tile_q
     qp = jnp.pad(query, ((0, 0), (0, pad_q), (0, 0))) if pad_q else query
     nq_p = nq + pad_q
 
@@ -70,19 +76,19 @@ def ball_query_pallas(
                                radius=float(radius))
     idx = pl.pallas_call(
         kernel,
-        grid=(b, nq_p // TILE_Q),
+        grid=(b, nq_p // tile_q),
         in_specs=[
-            pl.BlockSpec((1, TILE_Q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nc, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nc), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_Q, nsample), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, tile_q, nsample), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nq_p, nsample), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((TILE_Q, nc), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tile_q, nc), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
     )(qp, cand, cvalid_bias[:, None, :])
     idx = idx[:, :nq]

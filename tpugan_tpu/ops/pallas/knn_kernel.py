@@ -31,7 +31,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e10  # python float: jnp constants would be captured tracers in kernels
-TILE_Q = 128
+TILE_Q = 128  # fallback; _tile_q picks the largest tile the 16MB VMEM allows
+
+
+def _tile_q(nc: int) -> int:
+    # scratch is TILE_Q * Nc * 4 bytes and must stay well under the ~14MB
+    # scoped-vmem budget (measured: 512x10240 OOMs, 256x10240 fits)
+    return 256 if nc <= 12288 else 128
 
 
 def _knn_kernel(q_ref, c_ref, v_ref, d2_ref, idx_ref, scratch, *, k):
@@ -64,16 +70,17 @@ def _knn_kernel(q_ref, c_ref, v_ref, d2_ref, idx_ref, scratch, *, k):
 def _knn_pallas_impl(query, cand, cvalid_bias, k):
     b, nq, d = query.shape
     nc = cand.shape[1]
-    pad_q = (-nq) % TILE_Q
+    tile_q = _tile_q(nc)
+    pad_q = (-nq) % tile_q
     qp = jnp.pad(query, ((0, 0), (0, pad_q), (0, 0))) if pad_q else query
     nq_p = nq + pad_q
 
     kernel = functools.partial(_knn_kernel, k=k)
     d2, idx = pl.pallas_call(
         kernel,
-        grid=(b, nq_p // TILE_Q),
+        grid=(b, nq_p // tile_q),
         in_specs=[
-            pl.BlockSpec((1, TILE_Q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nc, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -81,16 +88,16 @@ def _knn_pallas_impl(query, cand, cvalid_bias, k):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_Q, k), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile_q, k), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_Q, k), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile_q, k), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, nq_p, k), jnp.float32),
             jax.ShapeDtypeStruct((b, nq_p, k), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((TILE_Q, nc), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_q, nc), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(qp, cand, cvalid_bias[:, None, :])
     return d2[:, :nq], idx[:, :nq]
