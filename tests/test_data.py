@@ -158,3 +158,13 @@ def test_prefetch_iterator_preserves_order():
 
     out = list(prefetch_iterator(iter(range(50)), size=4))
     assert out == list(range(50))
+
+
+def test_pad_with_appropriate_size():
+    from tpugan_tpu.data.sampling import pad_with_appropriate_size
+
+    pos = np.zeros((1500, 3), np.float32)
+    padded, valid = pad_with_appropriate_size(pos, bucket=1024)
+    assert padded.shape == (2048, 3)
+    assert valid.sum() == 1500
+    assert np.all(padded[1500:] == 999.0)

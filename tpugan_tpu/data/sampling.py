@@ -237,6 +237,24 @@ def dump_pointcloud_visualization(pos: np.ndarray, filename: str) -> None:
     plt.close(fig)
 
 
+def pad_with_appropriate_size(
+    pos: np.ndarray,
+    bucket: int = 1024,
+    sentinel: float = 999.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad a variable-size cloud up to the next ``bucket`` multiple so jit
+    programs are reused across frames (reference
+    train_action/analysis_helper.py:71-83 pads clips for fixed-shape EMD;
+    here the pad is the 999 sentinel plus a validity mask)."""
+    n = pos.shape[0]
+    target = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+    padded = np.full((target, pos.shape[1]), sentinel, pos.dtype)
+    padded[:n] = pos
+    valid = np.zeros(target, bool)
+    valid[:n] = True
+    return padded, valid
+
+
 def fixed_radius_neighbor_num(pos: np.ndarray, radius: float) -> np.ndarray:
     """Per-point neighbor counts within ``radius`` (reference
     train_utils.py:269-272)."""

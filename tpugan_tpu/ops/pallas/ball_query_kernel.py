@@ -27,7 +27,8 @@ TILE_Q = 128
 
 def _tile_q(nc: int) -> int:
     # scratch TILE_Q * Nc * 4B must stay under the ~14MB scoped-vmem budget
-    return 256 if nc <= 12288 else 128
+    return 128  # 256 wins ~8% in isolation but crashes the remote compiler
+    # inside the full train-step graph; pinned pending a Mosaic fix
 
 
 def _ball_kernel(q_ref, c_ref, v_ref, idx_ref, scratch, *, nsample, radius):

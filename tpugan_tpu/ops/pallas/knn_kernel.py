@@ -37,7 +37,8 @@ TILE_Q = 128  # fallback; _tile_q picks the largest tile the 16MB VMEM allows
 def _tile_q(nc: int) -> int:
     # scratch is TILE_Q * Nc * 4 bytes and must stay well under the ~14MB
     # scoped-vmem budget (measured: 512x10240 OOMs, 256x10240 fits)
-    return 256 if nc <= 12288 else 128
+    return 128  # 256 wins ~8% in isolation but crashes the remote compiler
+    # inside the full train-step graph; pinned pending a Mosaic fix
 
 
 def _knn_kernel(q_ref, c_ref, v_ref, d2_ref, idx_ref, scratch, *, k):

@@ -298,6 +298,7 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
                     state.tempo.batch_stats, state.spatial.batch_stats,
                 )
 
+
             (tempo_loss, spatial_loss, pred_seq, pred_valid, pred_adv,
              gt_adv, tempo_bs, spatial_bs) = jax.lax.cond(
                 gate, adv_branch, no_adv, None
@@ -308,7 +309,11 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
                 tempo_loss=tempo_loss, spatial_loss=spatial_loss,
                 pred_seq=pred_seq, pred_valid=pred_valid,
                 pred_adv=pred_adv, gt_adv=gt_adv,
-                padded_center=padded[1], center_valid=valid[1],
+                # The reference's spatial-D update reuses the loop variable
+                # ``padded_pred_pos_batch``, which after the side-frame loop
+                # holds the LAST frame's unshuffled prediction
+                # (train_step_final.py:128-140,207-209) — reproduced here.
+                padded_last=padded[2], last_valid=valid[2],
                 tempo_bs=tempo_bs, spatial_bs=spatial_bs,
             )
             return sr_loss, aux
@@ -333,8 +338,8 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
         pred_valid = aux["pred_valid"]
         pred_adv = aux["pred_adv"]
         gt_adv = aux["gt_adv"]
-        padded_center = jax.lax.stop_gradient(aux["padded_center"])
-        center_valid = aux["center_valid"]
+        padded_last = jax.lax.stop_gradient(aux["padded_last"])
+        last_valid = aux["last_valid"]
 
         def d_update(_):
             # --- temporal D: per-frame random rotation with p = 0.3
@@ -390,16 +395,16 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
                 jnp.einsum("bnd,bde->bne", highres_pos[1], rots0),
                 highres_pos[1],
             )
-            fake_center = jnp.where(
+            fake_cloud = jnp.where(
                 do_rot_s,
-                jnp.einsum("bnd,bde->bne", padded_center, rots1),
-                padded_center,
+                jnp.einsum("bnd,bde->bne", padded_last, rots1),
+                padded_last,
             )
 
             def spatial_loss_fn(sparams):
                 variables = {"params": sparams, "batch_stats": spatial_mid.batch_stats}
                 fake, v1 = spatial_model.apply(
-                    variables, fake_center, center_valid, True,
+                    variables, fake_cloud, last_valid, True,
                     mutable=["batch_stats"], rngs={"dropout": keys[11]},
                 )
                 true, v2 = spatial_model.apply(
