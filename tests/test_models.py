@@ -202,3 +202,15 @@ def test_action_tempo_dis_and_cls_transfer(rng):
     logits, _ = cls.apply(vc2, seq, 2.0, True, mutable=["batch_stats"],
                           rngs={"dropout": key})
     assert logits.shape == (2, 20)
+
+
+def test_mask_head_alive_at_init_all_seeds(rng):
+    """The masking head must not initialize ReLU-dead (a dead head zeroes
+    the masking-loss gradient and, through the hard gate, every upsampling
+    gradient — permanent training collapse, observed on-device)."""
+    pos = _cloud(rng, 1, 128)
+    model = SRNet(in_feats=3, node_emb_dim=128, upsample_ratio=4)
+    for seed in range(4):
+        v = model.init(jax.random.PRNGKey(seed), pos, pos, False)
+        _, mask, _, _ = model.apply(v, pos, pos, False)
+        assert float(jnp.mean(mask > 0)) > 0.3, f"dead mask head at seed {seed}"

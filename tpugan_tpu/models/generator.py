@@ -95,7 +95,16 @@ class BinaryMaskingModule(nn.Module):
                     feature, train=train
                 )
         feature = SharedMLP([in_dim // 2, in_dim // 4])(feature, train=train)
-        feature = nn.Dense(1, use_bias=True)(feature)
+        # Positive bias init keeps the ReLU head alive at initialization.
+        # With zero bias the whole head can start identically dead (measured:
+        # some seeds give mask ≡ 0 at emb_dim 128), which zeroes the masking
+        # -loss gradient AND — through the hard gate — every offset gradient,
+        # freezing the generator permanently. The reference risks the same
+        # collapse with torch's random bias init; a small positive constant
+        # is strictly more robust and reaches the same optima.
+        feature = nn.Dense(
+            1, use_bias=True, bias_init=nn.initializers.constant(0.1)
+        )(feature)
         return nn.relu(feature)[..., 0]                   # [B, N]
 
 
