@@ -103,7 +103,12 @@ class BinaryMaskingModule(nn.Module):
         # collapse with torch's random bias init; a small positive constant
         # is strictly more robust and reaches the same optima.
         feature = nn.Dense(
-            1, use_bias=True, bias_init=nn.initializers.constant(0.1)
+            1,
+            use_bias=True,
+            kernel_init=nn.initializers.variance_scaling(
+                0.01, "fan_in", "truncated_normal"
+            ),
+            bias_init=nn.initializers.constant(0.1),
         )(feature)
         return nn.relu(feature)[..., 0]                   # [B, N]
 
