@@ -1,0 +1,150 @@
+"""Quantitative fluid evaluation CLI.
+
+The reference exposes its eval suite as library functions driven from
+notebooks (train_fluid/analysis_helper.py, SURVEY.md §4.4); this CLI wraps
+the same metrics as a proper entry point: per-sample normalized Chamfer /
+EMD / Gaussian-MMD against ground truth (analysis_helper.py:232-262),
+upsample-advect cycle consistency (:175-229) and free-surface particle
+count difference (:275-281) over a test dataset, from a trained checkpoint
+(random init if omitted — useful as a smoke baseline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+
+    os.makedirs(os.path.expanduser("~/.cache/tpugan_jax"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/tpugan_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def main():
+    _enable_compile_cache()
+    p = argparse.ArgumentParser(description="Evaluate a fluid upsampler")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--dataset_path", type=str, default=None,
+                   help="case{i}/data_{t}.npz dir; synthetic if omitted")
+    p.add_argument("--sequence_num", type=int, default=1)
+    p.add_argument("--sequence_length", type=int, default=8)
+    p.add_argument("--num_samples", type=int, default=8)
+    p.add_argument("--patch_size", type=int, default=4096)
+    p.add_argument("--in_node_feats", type=int, default=3)
+    p.add_argument("--node_embedding", type=int, default=128)
+    p.add_argument("--upsample_ratio", type=int, default=8)
+    p.add_argument("--use_vel", action="store_true")
+    p.add_argument("--R", type=float, default=0.10)
+    p.add_argument("--emd_iters", type=int, default=300)
+    p.add_argument("--seed", type=int, default=0)
+    opt = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpugan_tpu.config import DT
+    from tpugan_tpu.data import SiamFluidDataset
+    from tpugan_tpu.data.synthetic import make_synthetic_fluid_dataset
+    from tpugan_tpu.eval.analysis import (
+        cycle_consistency,
+        free_surface_particle_count_diff,
+        position_metrics,
+    )
+    from tpugan_tpu.models import SRNet
+
+    dataset_path = opt.dataset_path
+    if dataset_path is None:
+        dataset_path = "/tmp/eval_fluid_synth"
+        make_synthetic_fluid_dataset(
+            dataset_path, case_num=opt.sequence_num,
+            case_steps=opt.sequence_length, num_particles=12000,
+            seed=opt.seed + 100,
+        )
+
+    ds = SiamFluidDataset(
+        dataset_path, opt.sequence_num, opt.sequence_length,
+        sample_num=opt.patch_size, fps_ratio=0.125, jitter=0.0,
+        seed=opt.seed,
+    )
+
+    model = SRNet(in_feats=opt.in_node_feats,
+                  node_emb_dim=opt.node_embedding,
+                  upsample_ratio=opt.upsample_ratio)
+    n = int(opt.patch_size * 0.125)
+    pos0 = jnp.zeros((1, n, 3))
+    feat0 = jnp.zeros((1, n, opt.in_node_feats))
+    variables = jax.jit(lambda k, f, q: model.init(k, f, q, False))(
+        jax.random.PRNGKey(opt.seed), feat0, pos0
+    )
+    if opt.ckpt:
+        from flax import serialization
+
+        path = opt.ckpt
+        if os.path.isdir(path):
+            with open(os.path.join(path, "latest_checkpoint.txt")) as fh:
+                path = os.path.join(path, fh.readline().strip())
+        with open(path, "rb") as fh:
+            restored = serialization.msgpack_restore(fh.read())
+        variables = {"params": serialization.from_state_dict(
+            variables["params"], restored["sr_net"]["params"])}
+        print(f"restored generator from {path}")
+
+    fwd = jax.jit(lambda f, q: model.apply(variables, f, q, False))
+
+    def sr_apply(feature, pos):
+        expanded, _, padded, valid = fwd(feature, pos)
+        return expanded
+
+    cds, emds, mmds, fs_diffs = [], [], [], []
+    cyc_cds, cyc_emds = [], []
+    for i in range(min(opt.num_samples, len(ds))):
+        item = ds[i]
+        low = jnp.asarray(item["lowres_pos"])        # [3, n, 3]
+        high = jnp.asarray(item["highres_pos"])      # [3, m, 3]
+        vel = jnp.asarray(item["lowres_vel"])
+        feat = low
+        if opt.use_vel and opt.in_node_feats == 6:
+            feat = jnp.concatenate([low, vel * DT], axis=-1)
+
+        expanded, mask, padded, valid = fwd(feat[1][None], low[1][None])
+        pred = np.asarray(padded)[0][np.asarray(valid)[0]]
+        m = min(pred.shape[0], high.shape[1])
+        cd, emd, mmd = position_metrics(
+            jnp.asarray(pred[None, :m]), high[1][None, :, :],
+            emd_iters=opt.emd_iters,
+        )
+        cds.append(cd)
+        emds.append(emd)
+        mmds.append(mmd)
+        fs_diffs.append(free_surface_particle_count_diff(
+            pred, np.asarray(high[1]), radius=0.025
+        ))
+
+        adv = jnp.asarray(item["highres_vel"][0] * DT)[None]
+        ccd, cemd, _ = cycle_consistency(
+            sr_apply, low[0][None], low[1][None], adv, high[0][None],
+            cutoff=opt.R, use_vel=False, emd_iters=opt.emd_iters,
+        )
+        cyc_cds.append(ccd)
+        cyc_emds.append(cemd)
+
+    print(json.dumps({
+        "chamfer_norm": float(np.mean(cds)),
+        "emd": float(np.mean(emds)),
+        "mmd": float(np.mean(mmds)),
+        "free_surface_count_diff": float(np.mean(fs_diffs)),
+        "cycle_chamfer": float(np.mean(cyc_cds)),
+        "cycle_emd": float(np.mean(cyc_emds)),
+        "samples": len(cds),
+    }))
+
+
+if __name__ == "__main__":
+    main()

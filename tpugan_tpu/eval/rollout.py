@@ -56,15 +56,28 @@ def rollout_sequence(
     frames: Iterable[Tuple[np.ndarray, Optional[np.ndarray]]],
     use_vel: bool = False,
     history: int = 25,
+    max_pending: int = 16,
 ) -> List[np.ndarray]:
     """Upsample a sequence of (pos [N,3], vel [N,3] or None) frames.
+
+    The device pipeline is kept full: up to ``max_pending`` frame steps are
+    enqueued ahead of the device->host fetches (the per-frame fetch would
+    otherwise serialize the rollout; jax dispatch is async, and the mask
+    ring-buffer state lives on device between steps).
 
     Returns a list of variable-size numpy arrays (valid points only),
     denormalized back to world space like the demo loop.
     """
     step = make_rollout_step(model, use_vel)
     mask_state = None
-    outputs = []
+    pending: List[Tuple] = []
+    outputs: List[Tuple[np.ndarray, np.ndarray]] = []
+
+    def drain(n: int):
+        while len(pending) > n:
+            padded, valid = pending.pop(0)
+            outputs.append((np.asarray(padded)[0], np.asarray(valid)[0]))
+
     for pos, vel in frames:
         pos_b = jnp.asarray(pos, jnp.float32)[None]
         vel_b = (
@@ -75,5 +88,7 @@ def rollout_sequence(
         if mask_state is None:
             mask_state = RolloutMaskState.create(1, pos_b.shape[1], history)
         padded, valid, mask_state = step(variables, mask_state, pos_b, vel_b)
-        outputs.append((np.asarray(padded)[0], np.asarray(valid)[0]))
+        pending.append((padded, valid))
+        drain(max_pending)
+    drain(0)
     return [p[v] for p, v in outputs]
