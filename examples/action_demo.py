@@ -18,6 +18,11 @@ def main():
     p.add_argument("--frames_per_clip", type=int, default=24)
     p.add_argument("--num_points", type=int, default=2048)
     p.add_argument("--out", default="./action_demo_out.npz")
+    p.add_argument("--eval_metrics", action="store_true",
+                   help="report the reference's exact CD/EMD eval protocol "
+                        "(train_action/analysis_helper.py:60-83) vs ground "
+                        "truth")
+    p.add_argument("--emd_iters", type=int, default=3000)
     opt = p.parse_args()
 
     import jax
@@ -68,6 +73,29 @@ def main():
     np.savez(opt.out, pred=preds, label=item["label"])
     print(f"wrote {preds.shape} upsampled clip to {opt.out} "
           f"(label {int(item['label'])})")
+
+    if opt.eval_metrics:
+        # the reference's exact protocol: resample both clips to 2048 points
+        # with y-flip + per-frame pc_normalize, CD/2048, EMD(pred/2)x2 at
+        # eps=0.002 (train_action/analysis_helper.py:46-83)
+        from tpugan_tpu.eval import (
+            action_position_metrics, pad_clip_with_appropriate_size,
+        )
+
+        rng = np.random.default_rng(0)
+        gt = item["highres_pos"] + centers[:, None, :]
+        pred_clip = pad_clip_with_appropriate_size(list(preds), rng=rng)
+        gt_clip = pad_clip_with_appropriate_size(list(gt), rng=rng)
+        cds, emds = [], []
+        for f in range(pred_clip.shape[0]):
+            cd, emd = action_position_metrics(
+                jnp.asarray(pred_clip[f]), jnp.asarray(gt_clip[f]),
+                emd_iters=opt.emd_iters,
+            )
+            cds.append(cd)
+            emds.append(emd)
+        print(f"action eval protocol: CD/2048 = {np.mean(cds):.6f}, "
+              f"EMD = {np.mean(emds):.6f} over {len(cds)} frames")
 
 
 if __name__ == "__main__":

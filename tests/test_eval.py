@@ -77,3 +77,71 @@ def test_get_particle_density_bulk_exceeds_surface(rng):
 def test_free_surface_count_diff_zero_for_same_cloud(rng):
     pos = rng.standard_normal((2000, 3)).astype(np.float32) * 0.2
     assert free_surface_particle_count_diff(pos, pos, radius=0.05) == 0
+
+
+# ---------------------------------------------------------------------------
+# exact action eval protocol (reference train_action/analysis_helper.py:46-83)
+
+def test_action_position_metrics_constants(rng):
+    from tpugan_tpu.eval.analysis import action_position_metrics
+    from tpugan_tpu.ops.metrics import chamfer
+
+    x = rng.standard_normal((512, 3)).astype(np.float32)
+    shift = np.array([0.05, 0.0, 0.0], np.float32)
+    y = x + shift
+
+    cd, emd = action_position_metrics(jnp.asarray(x), jnp.asarray(y),
+                                      emd_iters=200)
+    # CD is the bidirectional summed Chamfer divided by the CONSTANT 2048
+    # even though the clouds have 512 points
+    expected_cd = float(chamfer(jnp.asarray(x)[None], jnp.asarray(y)[None])[0]) / 2048.0
+    assert np.isclose(cd, expected_cd, rtol=1e-5)
+    # a pure translation has an obvious optimal transport: every point to its
+    # translate, so EMD == |shift|; the /2-then-x2 scaling must cancel exactly
+    assert np.isclose(emd, np.linalg.norm(shift), rtol=1e-2)
+
+
+def test_action_position_metrics_identical(rng):
+    from tpugan_tpu.eval.analysis import action_position_metrics
+
+    x = rng.standard_normal((256, 3)).astype(np.float32)
+    cd, emd = action_position_metrics(jnp.asarray(x), jnp.asarray(x),
+                                      emd_iters=50)
+    assert cd < 1e-6
+    assert emd < 1e-2
+
+
+def test_pad_clip_with_appropriate_size(rng):
+    from tpugan_tpu.eval.analysis import pad_clip_with_appropriate_size
+
+    big = rng.standard_normal((3000, 3)).astype(np.float32)
+    small = rng.standard_normal((700, 3)).astype(np.float32)
+    clip = pad_clip_with_appropriate_size([big, small], num_points=2048,
+                                          rng=np.random.default_rng(0))
+    assert clip.shape == (2, 2048, 3)
+    # pc_normalize: centered and max-norm == 1 per frame
+    for f in range(2):
+        assert np.allclose(clip[f].mean(0), 0.0, atol=1e-5)
+        assert np.isclose(np.linalg.norm(clip[f], axis=1).max(), 1.0, rtol=1e-5)
+    assert np.all(np.isfinite(clip))
+
+
+def test_position_metrics_masked_cd_full_cloud(rng):
+    """The masked CD must equal the compact-cloud CD (dropped tail points
+    still count), and EMD must be computed on the valid prefix only."""
+    from tpugan_tpu.data.sampling import pad_with_appropriate_size
+
+    pred = rng.standard_normal((900, 3)).astype(np.float32)
+    gt = rng.standard_normal((1100, 3)).astype(np.float32)
+
+    cd_ref, emd_ref, mmd_ref = position_metrics(
+        jnp.asarray(pred), jnp.asarray(gt), emd_iters=50)
+
+    padded, valid = pad_with_appropriate_size(pred)
+    assert padded.shape[0] == 1024 and valid.sum() == 900
+    cd_m, emd_m, mmd_m = position_metrics(
+        jnp.asarray(padded), jnp.asarray(gt), emd_iters=50,
+        pred_valid=jnp.asarray(valid))
+    assert np.isclose(cd_m, cd_ref, rtol=1e-5)
+    assert np.isclose(emd_m, emd_ref, rtol=1e-4)
+    assert np.isclose(mmd_m, mmd_ref, rtol=1e-4)

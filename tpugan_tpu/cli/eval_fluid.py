@@ -42,7 +42,7 @@ def main():
     p.add_argument("--upsample_ratio", type=int, default=8)
     p.add_argument("--use_vel", action="store_true")
     p.add_argument("--R", type=float, default=0.10)
-    p.add_argument("--emd_iters", type=int, default=300)
+    p.add_argument("--emd_iters", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     opt = p.parse_args()
 
@@ -115,10 +115,17 @@ def main():
 
         expanded, mask, padded, valid = fwd(feat[1][None], low[1][None])
         pred = np.asarray(padded)[0][np.asarray(valid)[0]]
-        m = min(pred.shape[0], high.shape[1])
+        # CD sees the FULL clouds (the reference only subsamples for EMD):
+        # pad the variable-size prediction to a bucket with a validity mask
+        # so position_metrics can mask the Chamfer term and truncate
+        # internally for the EMD term.
+        from tpugan_tpu.data.sampling import pad_with_appropriate_size
+
+        pred_padded, pred_valid = pad_with_appropriate_size(pred)
         cd, emd, mmd = position_metrics(
-            jnp.asarray(pred[None, :m]), high[1][None, :, :],
+            jnp.asarray(pred_padded[None]), high[1][None, :, :],
             emd_iters=opt.emd_iters,
+            pred_valid=jnp.asarray(pred_valid[None]),
         )
         cds.append(cd)
         emds.append(emd)

@@ -118,6 +118,7 @@ def main():
     n_iter = int(np.asarray(state.n_iter))
     step_key = jax.random.PRNGKey(cfg.seed + 1)
     start = time.time()
+    ckpt_future = None
 
     while n_iter < cfg.iters:
         batch = next(batches)
@@ -144,7 +145,7 @@ def main():
             print(f"profiler trace written to {cfg.log_dir}/profile")
 
         if n_iter % 50 == 0:
-            host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
             rate = n_iter / (time.time() - start)
             print(
                 f"iter {n_iter}/{cfg.iters} ({rate:.2f} it/s, "
@@ -160,7 +161,7 @@ def main():
                 max_keep=5,
             )
 
-    if "ckpt_future" in dir():
+    if ckpt_future is not None:
         ckpt_future.result()  # join the async writer before exit
     writer.close()
     print("exiting...")

@@ -47,6 +47,8 @@ def get_arguments(parser: argparse.ArgumentParser):
     add("--synthetic", action="store_true",
         help="generate and train on synthetic SPH-like fixtures")
     add("--synthetic_particles", type=int, default=12000)
+    add("--synthetic_cases", type=int, default=2)
+    add("--synthetic_steps", type=int, default=8)
     add("--patch_size", type=int, default=None,
         help="override patch size (default: 9216, or 4096 for small batch)")
     add("--data_parallel", action="store_true")
@@ -94,7 +96,7 @@ def main():
     train_seq, seq_len = opt.train_sequence_num, opt.sequence_length
     if opt.synthetic:
         train_path = os.path.join(opt.log_dir, "synthetic_data")
-        train_seq, seq_len = 2, 8
+        train_seq, seq_len = opt.synthetic_cases, opt.synthetic_steps
         print(f"Generating synthetic dataset at {train_path}")
         make_synthetic_fluid_dataset(
             train_path, case_num=train_seq, case_steps=seq_len,
@@ -149,6 +151,7 @@ def main():
     n_iter = int(np.asarray(state.n_iter))
     step_key = jax.random.PRNGKey(cfg.seed + 1)
     start = time.time()
+    ckpt_future = None
 
     while n_iter < cfg.iters:
         batch = next(batches)
@@ -172,7 +175,7 @@ def main():
             print(f"profiler trace written to {cfg.log_dir}/profile")
 
         if n_iter % 50 == 0:
-            host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
             rate = n_iter / (time.time() - start)
             print(
                 f"iter {n_iter}/{cfg.iters} ({rate:.2f} it/s, "
@@ -190,7 +193,7 @@ def main():
             if cfg.dump_visualization:
                 _dump_samples(models[0], state, batch, cfg, n_iter)
 
-    if "ckpt_future" in dir():
+    if ckpt_future is not None:
         ckpt_future.result()  # join the async writer before exit
     writer.close()
     print("exiting...")

@@ -37,26 +37,109 @@ def _joint_normalize(a: jnp.ndarray, b: jnp.ndarray):
     return a / h, b / h, h
 
 
+def _assignment_emd(
+    p: jnp.ndarray, t: jnp.ndarray, eps: float, iters: int
+) -> jnp.ndarray:
+    """Mean per-point euclidean distance under the auction assignment; warns
+    when the iteration cap left bidders on the nearest-target fallback (the
+    reported EMD is then biased low — raise ``iters``)."""
+    assign = auction_assignment(p, t, eps=eps, iters=iters)
+    counts = jax.vmap(lambda a: jnp.bincount(a, length=t.shape[1]))(assign)
+    n_dup = int(jnp.sum(jnp.maximum(counts - 1, 0)))
+    if n_dup > 0:
+        import warnings
+
+        warnings.warn(
+            f"auction EMD hit the {iters}-iteration cap with {n_dup} "
+            f"duplicate assignments (of {assign.size}); value is biased low",
+            stacklevel=3,
+        )
+    matched = jnp.take_along_axis(t, assign[..., None], axis=1)
+    return jnp.mean(jnp.linalg.norm(p - matched, axis=-1))
+
+
 def position_metrics(
     pos_pred: jnp.ndarray,
     pos_gt: jnp.ndarray,
     emd_eps: float = 0.03,
-    emd_iters: int = 500,
+    emd_iters: int = 2000,
+    pred_valid: Optional[jnp.ndarray] = None,
+    gt_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[float, float, float]:
     """(normalized Chamfer, mean EMD distance, MMD) between prediction and
     ground truth — reference ``position_loss`` (analysis_helper.py:232-262):
     CD divided by gt point count; EMD on jointly-normalized clouds; Gaussian
-    MMD (blur 0.01)."""
+    MMD (blur 0.01).
+
+    Clouds may be sentinel-padded with ``pred_valid``/``gt_valid`` masks
+    (valid points first — the loaders' layout). CD is computed on the FULL
+    masked clouds (the reference computes CD before any subsampling); EMD
+    needs a bijection so both clouds are truncated to the smaller valid
+    count, and normalization/MMD use only valid points."""
     if pos_pred.ndim == 2:
         pos_pred, pos_gt = pos_pred[None], pos_gt[None]
-    cd = jnp.mean(chamfer(pos_pred, pos_gt)) / pos_gt.shape[1]
-    p, t, _ = _joint_normalize(pos_pred, pos_gt)
-    n = min(p.shape[1], t.shape[1])
-    assign = auction_assignment(p[:, :n], t[:, :n], eps=emd_eps, iters=emd_iters)
-    matched = jnp.take_along_axis(t[:, :n], assign[..., None], axis=1)
-    emd = jnp.mean(jnp.linalg.norm(p[:, :n] - matched, axis=-1))
+        pred_valid = None if pred_valid is None else pred_valid[None]
+        gt_valid = None if gt_valid is None else gt_valid[None]
+    n_pred = (int(pred_valid.sum(-1).min()) if pred_valid is not None
+              else pos_pred.shape[1])
+    n_gt = (int(gt_valid.sum(-1).min()) if gt_valid is not None
+            else pos_gt.shape[1])
+    cd = jnp.mean(chamfer(pos_pred, pos_gt, pred_valid, gt_valid)) / n_gt
+    p, t, _ = _joint_normalize(pos_pred[:, :n_pred], pos_gt[:, :n_gt])
+    n = min(n_pred, n_gt)
+    emd = _assignment_emd(p[:, :n], t[:, :n], emd_eps, emd_iters)
     mmd = jnp.mean(gaussian_mmd(p, t, blur=0.01))
     return float(cd), float(emd), float(mmd)
+
+
+def pc_normalize(pc: np.ndarray) -> np.ndarray:
+    """Center on the centroid and scale by the max point norm (reference
+    train_action/analysis_helper.py:52-57)."""
+    pc = pc - np.mean(pc, axis=0)
+    return pc / np.max(np.sqrt(np.sum(pc ** 2, axis=1)))
+
+
+def action_position_metrics(
+    pos_pred: jnp.ndarray,
+    pos_gt: jnp.ndarray,
+    emd_eps: float = 0.002,
+    emd_iters: int = 3000,
+) -> Tuple[float, float]:
+    """The reference's EXACT MSR-Action3D eval protocol (reference
+    train_action/analysis_helper.py:60-68): bidirectional summed Chamfer
+    divided by the fixed constant 2048 (the eval point count, regardless of
+    actual N), and EMD computed on the clouds scaled by 1/2 (the MSN kernel
+    requires distances < 3) at eps=0.002 / iters=3000, with the resulting
+    mean point distance scaled back by 2."""
+    if pos_pred.ndim == 2:
+        pos_pred, pos_gt = pos_pred[None], pos_gt[None]
+    cd = jnp.mean(chamfer(pos_pred, pos_gt)) / 2048.0
+    emd = _assignment_emd(pos_pred / 2.0, pos_gt / 2.0, emd_eps, emd_iters) * 2.0
+    return float(cd), float(emd)
+
+
+def pad_clip_with_appropriate_size(
+    pos_lst, num_points: int = 2048, rng: Optional[np.random.Generator] = None
+) -> np.ndarray:
+    """The reference's eval clip prep (train_action/analysis_helper.py:71-83):
+    resample every frame to exactly ``num_points`` (random subset when larger;
+    whole-cloud repeats plus a random residue when smaller), flip the y axis,
+    and ``pc_normalize`` each frame. Returns [F, num_points, 3]."""
+    rng = rng or np.random.default_rng()
+    clip = []
+    for frame in pos_lst:
+        p = np.asarray(frame, np.float32).copy()
+        if p.shape[0] > num_points:
+            r = rng.choice(p.shape[0], size=num_points, replace=False)
+        else:
+            repeat, residue = divmod(num_points, p.shape[0])
+            r = np.concatenate(
+                [np.arange(p.shape[0])] * repeat
+                + [rng.choice(p.shape[0], size=residue, replace=False)]
+            )
+        p[:, 1] = -p[:, 1]
+        clip.append(pc_normalize(p[r])[None])
+    return np.concatenate(clip, axis=0)
 
 
 def cycle_consistency(

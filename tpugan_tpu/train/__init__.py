@@ -17,6 +17,11 @@ from tpugan_tpu.train.checkpoint import (
     load_checkpoint,
     ensure_dir,
 )
+from tpugan_tpu.train.torch_convert import (
+    load_torch_checkpoint,
+    convert_torch_checkpoint_dict,
+    strip_spectral_norm,
+)
 
 __all__ = [
     "NetState",
@@ -36,4 +41,7 @@ __all__ = [
     "save_checkpoint_async",
     "load_checkpoint",
     "ensure_dir",
+    "load_torch_checkpoint",
+    "convert_torch_checkpoint_dict",
+    "strip_spectral_norm",
 ]

@@ -82,6 +82,12 @@ def save_checkpoint(
         shutil.copyfile(save_path, os.path.join(save_dir, "best_model.ckpt"))
 
 
+def _log_ckpt_failure(future: Future) -> None:
+    exc = future.exception()
+    if exc is not None:
+        print(f"[checkpoint] async save FAILED: {exc!r}", flush=True)
+
+
 def save_checkpoint_async(
     state: GanTrainState,
     save_path: str,
@@ -89,8 +95,20 @@ def save_checkpoint_async(
     max_keep: Optional[int] = None,
 ) -> Future:
     """Queue a checkpoint save on the background writer thread; returns a
-    Future (call ``.result()`` to join, e.g. before process exit)."""
-    return _EXECUTOR.submit(save_checkpoint, state, save_path, is_best, max_keep)
+    Future (call ``.result()`` to join, e.g. before process exit).
+
+    The device->host fetch happens *here, on the caller thread*: the training
+    loop's jitted step donates the state pytree (donate_argnums=(0,)), so a
+    deferred ``jax.device_get`` on the writer thread would race the next
+    step's buffer donation and read deleted arrays. Failures of the
+    background write are logged via a done-callback instead of being
+    silently dropped."""
+    state = jax.device_get(state)
+    future = _EXECUTOR.submit(
+        save_checkpoint, state, save_path, is_best, max_keep
+    )
+    future.add_done_callback(_log_ckpt_failure)
+    return future
 
 
 def load_checkpoint(

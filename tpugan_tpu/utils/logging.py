@@ -39,8 +39,17 @@ class MetricWriter:
             self.flush()
 
     def flush(self) -> None:
-        for step, metrics in self._pending:
-            host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        if not self._pending:
+            return
+        # ONE device->host transfer for the whole backlog: per-scalar
+        # np.asarray costs a full tunnel round-trip each (flush_every x
+        # n_metrics of them dominated the train-loop wall clock); a single
+        # device_get of the stacked pytree is one transfer.
+        import jax
+
+        fetched = jax.device_get([m for _, m in self._pending])
+        for (step, _), host_m in zip(self._pending, fetched):
+            host = {k: float(v) for k, v in host_m.items()}
             self._jsonl.write(json.dumps({"step": step, **host}) + "\n")
             if self._tb is not None:
                 for k, v in host.items():
