@@ -63,6 +63,47 @@ def test_knn_pallas_gradient(rng):
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref), atol=1e-3)
 
 
+def test_knn_pallas_chunked_matches_oracle(rng):
+    # Nc >= _CHUNK_MIN_NC and k >= 3 dispatches the chunked fold-peel
+    q = jnp.asarray(rng.standard_normal((1, 256, 16)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((1, 4096, 16)).astype(np.float32))
+    bias = jnp.zeros((1, 4096), jnp.float32)
+    d2, idx = knn_pallas(q, c, bias, 20)
+    d_np = np.sum(
+        (np.asarray(q)[0][:, None] - np.asarray(c)[0][None]) ** 2, -1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(idx)[0], np.argsort(d_np, 1, kind="stable")[:, :20]
+    )
+    np.testing.assert_allclose(
+        np.asarray(d2)[0], np.sort(d_np, 1)[:, :20], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_knn_pallas_chunked_certificate_fallback(rng):
+    # Adversarial layout: the entire top-k of every query lives in ONE
+    # lane column (global indices i*128 + 5), so more than kp of the true
+    # top-k land in a single chunk, the certificate fails, and the
+    # pl.when fallback peel must produce the exact answer.
+    from tpugan_tpu.ops.pallas.knn_kernel import _chunk_kp
+
+    k = 12
+    assert _chunk_kp(k) < k
+    nc = 4096
+    c_np = rng.standard_normal((1, nc, 3)).astype(np.float32) * 100.0
+    q_np = rng.standard_normal((1, 130, 3)).astype(np.float32) * 0.01
+    for j in range(k):
+        # plant the true neighbors at lane 5 of successive 128-chunks
+        c_np[0, j * 128 + 5] = 0.001 * j
+    d2, idx = knn_pallas(
+        jnp.asarray(q_np), jnp.asarray(c_np), jnp.zeros((1, nc)), k
+    )
+    d_np = np.sum((q_np[0][:, None] - c_np[0][None]) ** 2, -1)
+    np.testing.assert_array_equal(
+        np.asarray(idx)[0], np.argsort(d_np, 1, kind="stable")[:, :k]
+    )
+
+
 def test_fps_pallas_matches_greedy(rng):
     pos = jnp.asarray(rng.standard_normal((2, 300, 3)).astype(np.float32))
     pen = jnp.zeros((2, 300), jnp.float32)
