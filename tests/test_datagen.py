@@ -76,3 +76,85 @@ def test_process_case_roundtrip(rng, tmp_path):
         assert z["pos"].shape == (64, 3)
         assert z["vel"].shape == (64, 3)
         assert z["pos"].dtype == np.float32
+
+
+def test_obj_roundtrip(tmp_path):
+    from tpugan_tpu.datagen.mesh import load_obj, make_box_obj
+
+    path = make_box_obj(str(tmp_path / "box.obj"), extent=(1.0, 2.0, 0.5))
+    verts, faces = load_obj(path)
+    assert verts.shape == (8, 3) and faces.shape == (12, 3)
+    np.testing.assert_allclose(verts.max(0) - verts.min(0), [1.0, 2.0, 0.5])
+
+
+def test_mesh_volume_sampling_box():
+    # lattice fill of a unit box must approximate extent^3 / spacing^3
+    import tempfile
+
+    from tpugan_tpu.datagen.mesh import make_box_obj, obj_volume_to_particles
+
+    with tempfile.TemporaryDirectory() as d:
+        path = make_box_obj(d + "/box.obj", extent=(1.0, 1.0, 1.0))
+        pts, vel = obj_volume_to_particles(path, radius=0.05)
+        assert vel.shape == pts.shape
+        expected = (1.0 / 0.1) ** 3
+        assert 0.7 * expected <= len(pts) <= 1.3 * expected
+        assert np.all(np.abs(pts) <= 0.5 + 1e-9)
+
+
+def test_mesh_volume_sampling_sphere_inside():
+    import tempfile
+
+    from tpugan_tpu.datagen.mesh import (
+        make_icosphere_obj, obj_volume_to_particles,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = make_icosphere_obj(d + "/sph.obj", radius=0.5, subdiv=2)
+        pts, _ = obj_volume_to_particles(path, radius=0.03)
+        r = np.linalg.norm(pts, axis=1)
+        assert len(pts) > 100
+        assert r.max() <= 0.51          # nothing outside the sphere
+        # fill fraction vs analytic ball volume (icosphere slightly smaller)
+        vol = len(pts) * 0.06 ** 3
+        ball = 4 / 3 * np.pi * 0.5 ** 3
+        assert 0.6 * ball <= vol <= 1.1 * ball
+
+
+def test_mesh_surface_sampling():
+    import tempfile
+
+    from tpugan_tpu.datagen.mesh import (
+        make_icosphere_obj, obj_surface_to_particles,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = make_icosphere_obj(d + "/sph.obj", radius=0.5, subdiv=3)
+        pts, normals = obj_surface_to_particles(path, radius=0.02)
+        assert len(pts) > 50
+        r = np.linalg.norm(pts, axis=1)
+        np.testing.assert_allclose(r, 0.5, atol=0.02)   # on the surface
+        # reference flips normals: they must point INWARD for a sphere
+        outward = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        cos = np.sum(outward * normals, axis=1) / np.maximum(
+            np.linalg.norm(normals, axis=1), 1e-9)
+        assert np.mean(cos) < -0.9
+
+
+def test_scene_generation_from_obj_dir(tmp_path):
+    from tpugan_tpu.datagen.mesh import make_box_obj, make_icosphere_obj
+    from tpugan_tpu.datagen.scene_gen import create_fluid_scene
+
+    objd = tmp_path / "shapes"
+    objd.mkdir()
+    make_box_obj(str(objd / "box.obj"))
+    make_icosphere_obj(str(objd / "sphere.obj"))
+    out = tmp_path / "scene"
+    scene = create_fluid_scene(
+        str(out), seed=3, particle_radius=0.025, obj_dir=str(objd)
+    )
+    assert scene["FluidModels"], "no fluid blobs placed"
+    from tpugan_tpu.data.bgeo import read_bgeo
+
+    pos, vel = read_bgeo(str(out / scene["FluidModels"][0]["particleFile"]))
+    assert len(pos) > 20

@@ -20,6 +20,9 @@ def main():
     p.add_argument("--test_seeds", type=int, default=4)
     p.add_argument("--particle_radius", type=float, default=0.0125)
     p.add_argument("--coarse_ratio", type=float, default=None)
+    p.add_argument("--obj_dir", type=str, default=None,
+                   help="directory of .obj fluid shapes (reference shape "
+                        "dataset path); default: parametric blob pool")
     p.add_argument("--synthetic", action="store_true",
                    help="generate synthetic sequences (no solver needed)")
     p.add_argument("--num_particles", type=int, default=12000)
@@ -55,7 +58,7 @@ def main():
             print(f"[{split}] scene {i + 1}: seed {seed}")
             create_fluid_scene(
                 scene_dir, seed=seed, particle_radius=opt.particle_radius,
-                coarse_ratio=opt.coarse_ratio,
+                coarse_ratio=opt.coarse_ratio, obj_dir=opt.obj_dir,
             )
             run_simulator(scene_dir)
             process_case(

@@ -128,6 +128,30 @@ def main():
         fluid_batch_iterator(dataset, cfg.batch_size, seed=cfg.seed), size=2
     )
 
+    # Test split: every ckpt interval the reference runs an eval-mode pass
+    # over the *test* dataloader (train_tempo.py:259-297). Synthetic runs
+    # get a freshly generated held-out set; otherwise test_dataset_path is
+    # used when it exists.
+    test_path = cfg.test_dataset_path
+    test_seq = cfg.test_sequence_num
+    if opt.synthetic:
+        test_path = os.path.join(opt.log_dir, "synthetic_test_data")
+        test_seq = max(1, opt.synthetic_cases // 2)
+        make_synthetic_fluid_dataset(
+            test_path, case_num=test_seq, case_steps=seq_len,
+            num_particles=opt.synthetic_particles, seed=cfg.seed + 7919,
+        )
+    test_batches = None
+    if test_path and os.path.isdir(test_path):
+        test_dataset = SiamFluidDataset(
+            test_path, test_seq, cfg.sequence_length,
+            sample_num=cfg.patch_size, fps_ratio=cfg.fps_ratio,
+            jitter=0.0, seed=cfg.seed + 1,
+        )
+        test_batches = fluid_batch_iterator(
+            test_dataset, cfg.batch_size, seed=cfg.seed + 1
+        )
+
     print("Building network")
     key = jax.random.PRNGKey(cfg.seed)
     models, txs, state = init_fluid_state(cfg, key)
@@ -190,6 +214,14 @@ def main():
                 os.path.join(checkpoint_dir, f"tpugan_checkpoint{n_iter}.ckpt"),
                 max_keep=5,
             )
+            if test_batches is not None:
+                test_cd = _test_eval(
+                    models[0], state, test_batches, cfg, n_iter,
+                    dump=cfg.dump_visualization,
+                )
+                writer.add(n_iter, {"test_Chamfer_distance": test_cd})
+                print(f"iter {n_iter}: test Chamfer (per-point) = "
+                      f"{test_cd:.6f}", flush=True)
             if cfg.dump_visualization:
                 _dump_samples(models[0], state, batch, cfg, n_iter)
 
@@ -197,6 +229,59 @@ def main():
         ckpt_future.result()  # join the async writer before exit
     writer.close()
     print("exiting...")
+
+
+_TEST_EVAL_FN = None
+
+
+def _test_eval(sr_model, state, test_batches, cfg, n_iter, dump=False,
+               n_batches=4):
+    """Eval-mode generator pass over held-out test batches (reference
+    train_tempo.py:259-297), returning the mean per-point Chamfer distance
+    between the hard-masked prediction and the high-res ground truth; test
+    samples are dumped alongside the train-batch dumps when requested."""
+    import jax.numpy as jnp
+
+    from tpugan_tpu.config import DT
+    from tpugan_tpu.ops.metrics import chamfer
+
+    global _TEST_EVAL_FN
+    if _TEST_EVAL_FN is None:
+        def fwd(params, feature, lowres, highres):
+            _, _, padded, valid = sr_model.apply(
+                {"params": params}, feature, lowres, False
+            )
+            cd = chamfer(padded, highres, a_valid=valid)
+            denom = jnp.sum(valid, axis=-1) + highres.shape[1]
+            return padded, valid, jnp.mean(cd / denom)
+
+        _TEST_EVAL_FN = jax.jit(fwd)
+
+    params = state.sr.params
+    cds = []
+    sample_dir = os.path.join(cfg.log_dir, "samples")
+    for j in range(n_batches):
+        batch = next(test_batches)
+        lowres = batch["lowres_pos"][1]
+        feature = lowres
+        if cfg.use_vel and cfg.in_node_feats == 6:
+            feature = np.concatenate(
+                [lowres, batch["lowres_vel"][1] * DT], -1
+            )
+        padded, valid, cd = _TEST_EVAL_FN(
+            params, feature, lowres, batch["highres_pos"][1]
+        )
+        cds.append(float(cd))
+        if dump:
+            os.makedirs(sample_dir, exist_ok=True)
+            pred = np.asarray(padded)[0][np.asarray(valid)[0]]
+            np.save(os.path.join(sample_dir, f"test_gt_iter{n_iter}_{j}.npy"),
+                    batch["highres_pos"][1][0])
+            np.save(os.path.join(sample_dir, f"test_input_iter{n_iter}_{j}.npy"),
+                    lowres[0])
+            np.save(os.path.join(sample_dir, f"test_pred_iter{n_iter}_{j}.npy"),
+                    pred)
+    return float(np.mean(cds))
 
 
 def _dump_samples(sr_model, state, batch, cfg, n_iter):

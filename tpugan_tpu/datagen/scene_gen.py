@@ -7,9 +7,10 @@ rotation/scale/velocity into the free space of a box, write the scene as
 SPlisHSPlasH-schema ``scene.json`` + per-fluid ``.bgeo`` particle blocks,
 and (when the external DFSPH binary is available) run the simulation.
 
-Deviation from the reference: fluid shapes are parametric (box / sphere /
-cylinder point lattices) instead of Open3D-sampled .obj meshes — the
-environment has no Open3D; the shape sampler is pluggable via
+Shapes: with ``obj_dir`` fluid blobs are volume-sampled from .obj meshes
+via tpugan_tpu.datagen.mesh (numpy equivalents of the reference's
+VolumeSampling binary / Open3D Poisson disk); the default pool is
+parametric (box / sphere / cylinder point lattices), pluggable via
 ``SHAPE_SAMPLERS``. A matched coarse-resolution twin scene (the reference's
 ``--coarse_ratio``) is supported through ``coarse_ratio``.
 """
@@ -132,6 +133,20 @@ def _occupancy(points: np.ndarray, box_min, box_max, cell: float) -> np.ndarray:
     return grid
 
 
+def _mesh_blob(objpath: str, rng, spacing: float) -> np.ndarray:
+    """Sample a fluid blob from an .obj mesh: normalize to unit extent,
+    random target size like the parametric pool, volume-fill at the
+    particle spacing (reference create_physics_scenes.py:122-131 via
+    obj_volume_to_particles)."""
+    from tpugan_tpu.datagen.mesh import load_obj, obj_volume_to_particles
+
+    verts, _ = load_obj(objpath)
+    max_extent = float((verts.max(0) - verts.min(0)).max())
+    scale = rng.uniform(0.25, 0.55) / max(max_extent, 1e-9)
+    pts, _ = obj_volume_to_particles(objpath, spacing / 2, scale=scale)
+    return pts - pts.mean(0) if len(pts) else pts
+
+
 def create_fluid_scene(
     output_dir: str,
     seed: int = 0,
@@ -141,6 +156,7 @@ def create_fluid_scene(
     max_blobs: int = 3,
     coarse_ratio: Optional[float] = None,
     default_config: Optional[Dict] = None,
+    obj_dir: Optional[str] = None,
 ) -> Dict:
     """Synthesize one scene: random fluid blobs placed collision-free in
     the box, written as scene.json + .bgeo blocks. Returns the scene dict.
@@ -148,6 +164,10 @@ def create_fluid_scene(
     With ``coarse_ratio``, a matched twin scene at coarser particle radius
     (same blob placements/velocities) is written to ``output_dir + '_coarse'``
     (reference --coarse_ratio, create_physics_scenes.py:256-294).
+
+    With ``obj_dir``, blob shapes are volume-sampled from the directory's
+    .obj meshes (the reference's shape-dataset path,
+    create_physics_scenes.py:122-145) instead of the parametric pool.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(output_dir, exist_ok=True)
@@ -155,12 +175,28 @@ def create_fluid_scene(
     box_max = np.asarray(box_max, np.float64)
     spacing = 2 * particle_radius
 
+    obj_pool: List[str] = []
+    if obj_dir is not None:
+        obj_pool = sorted(
+            os.path.join(obj_dir, f) for f in os.listdir(obj_dir)
+            if f.endswith(".obj")
+        )
+        if not obj_pool:
+            raise ValueError(f"no .obj files in {obj_dir}")
+
     n_blobs = int(rng.integers(1, max_blobs + 1))
     occupied = np.zeros((0, 3))
     blobs: List[Dict] = []
     for bi in range(n_blobs):
-        shape = list(SHAPE_SAMPLERS)[int(rng.integers(len(SHAPE_SAMPLERS)))]
-        base = SHAPE_SAMPLERS[shape](rng, spacing)
+        if obj_pool:
+            objpath = obj_pool[int(rng.integers(len(obj_pool)))]
+            shape = os.path.basename(objpath)
+            base = _mesh_blob(objpath, rng, spacing)
+            if len(base) == 0:
+                continue
+        else:
+            shape = list(SHAPE_SAMPLERS)[int(rng.integers(len(SHAPE_SAMPLERS)))]
+            base = SHAPE_SAMPLERS[shape](rng, spacing)
         rot = random_rotation_matrix(rng)
         pts = base @ rot.T
         # find a collision-free start position (reference :182-219)
