@@ -137,7 +137,10 @@ def main():
         adv = jnp.asarray(item["highres_vel"][0] * DT)[None]
         ccd, cemd, _ = cycle_consistency(
             sr_apply, low[0][None], low[1][None], adv, high[0][None],
-            cutoff=opt.R, use_vel=False, emd_iters=opt.emd_iters,
+            cutoff=opt.R,
+            use_vel=opt.use_vel and opt.in_node_feats == 6,
+            lowres_vel_left=vel[0][None], lowres_vel_right=vel[1][None],
+            emd_iters=opt.emd_iters,
         )
         cyc_cds.append(ccd)
         cyc_emds.append(cemd)

@@ -66,38 +66,19 @@ class EdgeConv(nn.Module):
         idx = idx[:, :, : self.k : self.dilation]
 
         half = self.out_features // 2
-        if self.norm == "none":
-            # Gather-hoisted path (TPU layout optimization): the affines
-            # are linear maps on rows (the norm-free generator convs carry
-            # no bias, layers.py bias quirk), so they commute with the
-            # neighbor gather:
-            #   node term  leaky(nbr @ Wn)        = gather(leaky(feat @ Wn))
-            #   edge term  leaky((nbr - ctr) @ We) = leaky(gather(feat @ We)
-            #                                              - (feat @ We)_ctr)
-            # Both matmuls run on ungrouped [B, N, C] tensors; only cheap
-            # elementwise work touches the [B, N, k, half] grouped layout.
-            # Removes the grouped convs + the layout-transposing copies XLA
-            # inserts around them (measured in the forward's HLO profile).
-            # Module construction order matches the ungrouped path so the
-            # parameter tree is identical.
-            node_affine = ConvLayer(half, act=None, norm="none",
-                                    spectral_norm=self.spectral_norm)
-            edge_affine = ConvLayer(half, act=None, norm="none",
-                                    spectral_norm=self.spectral_norm)
-            an = leaky_relu_02(node_affine(feat, train=train))  # [B, N, half]
-            e = edge_affine(feat, train=train)                  # [B, N, half]
-            y = group(an, idx) + leaky_relu_02(
-                group(e, idx) - e[:, :, None, :]
-            )                                           # [B, N, k', half]
-        else:
-            neighbor = group(feat, idx)                 # [B, N, k', C]
-            edge = neighbor - feat[:, :, None, :]
-            node_affine = ConvLayer(half, act=leaky_relu_02, norm=self.norm,
-                                    spectral_norm=self.spectral_norm)
-            edge_affine = ConvLayer(half, act=leaky_relu_02, norm=self.norm,
-                                    spectral_norm=self.spectral_norm)
-            y = (node_affine(neighbor, train=train)
-                 + edge_affine(edge, train=train))
+        # (A gather-hoisted variant — affines on ungrouped rows, gather
+        # after — was measured SLOWER on TPU: it halves each gathered
+        # table's width but doubles the number of gathers and their
+        # layout-fixup copies, 22.0 -> 25.6 ms on the 10240-pt forward.
+        # The grouped affines stay; see BENCH_NOTES.md round 2.)
+        neighbor = group(feat, idx)                 # [B, N, k', C]
+        edge = neighbor - feat[:, :, None, :]
+        node_affine = ConvLayer(half, act=leaky_relu_02, norm=self.norm,
+                                spectral_norm=self.spectral_norm)
+        edge_affine = ConvLayer(half, act=leaky_relu_02, norm=self.norm,
+                                spectral_norm=self.spectral_norm)
+        y = (node_affine(neighbor, train=train)
+             + edge_affine(edge, train=train))
 
         if self.mlp_layer:
             y = SharedMLP([half, self.out_features], norm=self.norm,
