@@ -74,3 +74,54 @@ def test_cubic_interpolation_batched(rng):
         want = np.asarray(cubic_interpolation(jnp.asarray(q[b]), jnp.asarray(f[b]),
                                               jnp.asarray(p[b]), 0.6))
         np.testing.assert_allclose(got[b], want, rtol=1e-5)
+
+
+def test_dense_interpolation_matches_full_radius_oracle(rng):
+    from tpugan_tpu.ops import cubic_interpolation_dense
+
+    nq, nc, c = 40, 260, 3
+    cutoff = 0.5
+    q = rng.uniform(-1, 1, (nq, 3)).astype(np.float32)
+    p = rng.uniform(-1, 1, (nc, 3)).astype(np.float32)
+    f = rng.standard_normal((nc, c)).astype(np.float32)
+    got = np.asarray(cubic_interpolation_dense(
+        jnp.asarray(q), jnp.asarray(f), jnp.asarray(p), cutoff))
+    d = np.sqrt(np.sum((q[:, None] - p[None]) ** 2, -1))
+    w = _bicubic_np(d, cutoff) * (d <= cutoff)   # ALL in-radius neighbors
+    want = (w @ f) / (w.sum(1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_dense_interpolation_equals_capped_when_sparse(rng):
+    """With <= 32 in-radius neighbors per query the dense form must equal
+    the reference-capped variant exactly."""
+    from tpugan_tpu.ops import cubic_interpolation, cubic_interpolation_dense
+
+    nq, nc = 30, 150
+    cutoff = 0.18  # sparse: few neighbors in radius
+    q = rng.uniform(-1, 1, (nq, 3)).astype(np.float32)
+    p = rng.uniform(-1, 1, (nc, 3)).astype(np.float32)
+    f = rng.standard_normal((nc, 3)).astype(np.float32)
+    d = np.sqrt(np.sum((q[:, None] - p[None]) ** 2, -1))
+    assert (d <= cutoff).sum(1).max() <= 32, "test setup: must be sparse"
+    dense = np.asarray(cubic_interpolation_dense(
+        jnp.asarray(q), jnp.asarray(f), jnp.asarray(p), cutoff))
+    capped = np.asarray(cubic_interpolation(
+        jnp.asarray(q), jnp.asarray(f), jnp.asarray(p), cutoff))
+    np.testing.assert_allclose(dense, capped, rtol=1e-3, atol=1e-5)
+
+
+def test_dense_interpolation_respects_validity_mask(rng):
+    from tpugan_tpu.ops import cubic_interpolation_dense
+
+    q = rng.uniform(-1, 1, (20, 3)).astype(np.float32)
+    p = rng.uniform(-1, 1, (60, 3)).astype(np.float32)
+    f = rng.standard_normal((60, 2)).astype(np.float32)
+    valid = np.ones(60, bool)
+    valid[30:] = False
+    got = np.asarray(cubic_interpolation_dense(
+        jnp.asarray(q), jnp.asarray(f), jnp.asarray(p), 0.6,
+        pos_valid=jnp.asarray(valid)))
+    want = np.asarray(cubic_interpolation_dense(
+        jnp.asarray(q), jnp.asarray(f[:30]), jnp.asarray(p[:30]), 0.6))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)

@@ -31,6 +31,7 @@ from tpugan_tpu.ops.interpolate import (
     linear_kernel,
     exponential_kernel,
     cubic_interpolation,
+    cubic_interpolation_dense,
 )
 
 __all__ = [
@@ -53,4 +54,5 @@ __all__ = [
     "linear_kernel",
     "exponential_kernel",
     "cubic_interpolation",
+    "cubic_interpolation_dense",
 ]

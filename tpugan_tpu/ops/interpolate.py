@@ -95,3 +95,38 @@ def cubic_interpolation(
     den = jnp.sum(w, axis=-1, keepdims=True) + 1e-6
     out = num / den
     return out[0] if squeeze else out
+
+
+def cubic_interpolation_dense(
+    query_pos: jnp.ndarray,
+    field: jnp.ndarray,
+    pos: jnp.ndarray,
+    cutoff: float,
+    pos_valid: Optional[jnp.ndarray] = None,
+    kind: str = "bicubic",
+) -> jnp.ndarray:
+    """All-in-radius kernel interpolation (no K cap), fused on TPU.
+
+    Same formula as ``cubic_interpolation`` but summing over EVERY
+    candidate within the cutoff rather than the reference interpolation
+    path's FRNN K=32 cap — this matches the reference's own density
+    oracle (train_fluid/analysis_helper.py:102-113), and on TPU runs as
+    two MXU matmuls per tile with no gathers
+    (ops/pallas/interp_kernel.py). Identical to the capped variant
+    whenever every query has <= 32 in-radius neighbors.
+    """
+    from tpugan_tpu.ops.pallas.interp_kernel import kernel_interp_pallas
+
+    squeeze = query_pos.ndim == 2
+    if squeeze:
+        query_pos, field, pos = query_pos[None], field[None], pos[None]
+        if pos_valid is not None:
+            pos_valid = pos_valid[None]
+    bias = (
+        jnp.where(pos_valid, 0.0, 1e10).astype(jnp.float32)
+        if pos_valid is not None
+        else jnp.zeros(pos.shape[:2], jnp.float32)
+    )
+    out, _ = kernel_interp_pallas(query_pos, pos, field, cutoff, bias,
+                                  kind=kind)
+    return out[0] if squeeze else out

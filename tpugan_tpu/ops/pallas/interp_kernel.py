@@ -1,0 +1,123 @@
+"""Dense SPH-kernel scattered interpolation as one fused Pallas kernel.
+
+out[q] = sum_c w(|q - c|) * values[c] / (sum_c w + 1e-6) over ALL
+candidates within the cutoff radius.
+
+Replaces the kNN + tiny-row-gather + segment-reduce chain for velocity
+transfer (reference train_step_final.py:51-66 via
+gcn_lib/interpolation.py:103-123): on TPU the FRNN/gather formulation is
+DMA-descriptor-bound (12-byte gather rows; measured ~76 ms of a 170 ms
+train step), while the dense form is two MXU matmuls per query tile —
+the [TQ, M] pairwise-distance block and w @ values — with the kernel
+weighting fused between them in VMEM. Nothing is gathered and no [N, M]
+intermediate ever reaches HBM.
+
+Semantics note: the reference's interpolation path caps at the K=32
+nearest in-radius neighbors (an FRNN API artifact); its own eval-side
+density oracle (train_fluid/analysis_helper.py:102-113) sums ALL
+in-radius particles, which is what this kernel computes. The capped
+variant remains in ops/interpolate.py for exact-parity use.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpugan_tpu.ops.pallas.knn_kernel import _compute_d2
+
+TILE_Q = 128
+_VAL_PAD = 8   # pad C to sublane multiple; 128-lane padding would double VMEM
+
+
+def _kernel_w(r2, cutoff, kind):
+    """SPH kernel weight from squared distance (ops/interpolate.py
+    formulas; reference gcn_lib/interpolation.py:83-100)."""
+    r = jnp.sqrt(jnp.maximum(r2, 0.0))
+    q = r / cutoff
+    if kind == "bicubic":
+        coeff = 8.0 / (3.141592653589793 * cutoff ** 3)
+        mid = 6.0 * (q ** 3 - q ** 2) + 1.0
+        outer = 2.0 * (1.0 - q) ** 3
+        w = jnp.where(q <= 0.5, mid, outer) * coeff
+    elif kind == "linear":
+        w = 1.0 - q
+    elif kind == "exponential":
+        coeff = 1.0 / (3.141592653589793 ** 1.5) * cutoff ** 3
+        w = coeff * jnp.exp(-(q ** 2))
+    else:
+        raise ValueError(f"unknown kernel {kind}")
+    return jnp.where(r2 <= cutoff * cutoff, w, 0.0)
+
+
+def _interp_kernel(q_ref, c_ref, v_ref, val_ref, out_ref, den_ref,
+                   *, cutoff, kind):
+    d2 = _compute_d2(q_ref, c_ref, v_ref)          # [TQ, M] (+BIG invalid)
+    w = _kernel_w(d2, cutoff, kind)                # invalid -> 0 via radius
+    num = jax.lax.dot_general(
+        w, val_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # [TQ, Cp]
+    den = jnp.sum(w, axis=1) + 1e-6                # [TQ]
+    out_ref[0] = num / den[:, None]
+    den_ref[0] = den[:, None]
+
+
+def kernel_interp_pallas(
+    query: jnp.ndarray,        # [B, Nq, 3]
+    cand: jnp.ndarray,         # [B, M, 3]
+    values: jnp.ndarray,       # [B, M, C]
+    cutoff: float,
+    cvalid_bias: jnp.ndarray,  # [B, M] f32: 0 valid / BIG invalid
+    kind: str = "bicubic",
+):
+    """Dense all-in-radius kernel interpolation.
+
+    Returns (out [B, Nq, C], den [B, Nq]) where den is the raw weight sum
+    (callers can detect isolated queries via den ~ 1e-6).
+    """
+    b, nq, d = query.shape
+    m = cand.shape[1]
+    c = values.shape[-1]
+    cp = -(-c // _VAL_PAD) * _VAL_PAD
+    pad_q = (-nq) % TILE_Q
+    qp = jnp.pad(query, ((0, 0), (0, pad_q), (0, 0))) if pad_q else query
+    nq_p = nq + pad_q
+    vals = jnp.pad(values, ((0, 0), (0, 0), (0, cp - c))) if cp != c else values
+
+    out, den = pl.pallas_call(
+        functools.partial(_interp_kernel, cutoff=float(cutoff), kind=kind),
+        grid=(b, nq_p // TILE_Q),
+        in_specs=[
+            pl.BlockSpec((1, TILE_Q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, cp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_Q, cp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_Q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nq_p, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, nq_p, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # d2 + w tiles at M ~ 10k exceed the 16M default scoped budget
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, cand, cvalid_bias[:, None, :], vals)
+    return out[:, :nq, :c], den[:, :nq, 0]

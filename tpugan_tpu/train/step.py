@@ -44,7 +44,10 @@ from tpugan_tpu.models import (
     NoMaskSRNet,
     SRNet,
 )
-from tpugan_tpu.ops.interpolate import cubic_interpolation
+from tpugan_tpu.ops.interpolate import (
+    cubic_interpolation,
+    cubic_interpolation_dense,
+)
 from tpugan_tpu.train.state import GanTrainState, NetState, make_optimizer
 
 
@@ -102,15 +105,22 @@ def interpolate_vel_lst(
     """Transfer ground-truth advection (vel * DT) onto predicted particles
     per frame by SPH-kernel interpolation (reference ``interpolate_vel_lst``,
     train_step_final.py:51-66). Returns (gt_adv, pred_adv), both
-    stop-gradiented like the reference's no_grad block."""
+    stop-gradiented like the reference's no_grad block.
+
+    Uses the dense all-in-radius form (ops/interpolate.py
+    ``cubic_interpolation_dense``): the reference path's FRNN K=32 cap is
+    an API artifact its own density oracle does not share, and the dense
+    Pallas kernel removes the kNN + tiny-row gathers that dominated the
+    measured train step (~76 ms of 170 ms; BENCH_NOTES.md round 2)."""
+    f, b = pred_pos_frames.shape[:2]
     gt_adv = gt_vel_frames * DT
-    interp = jax.vmap(jax.vmap(
-        cubic_interpolation, in_axes=(0, 0, 0, None)
-    ), in_axes=(0, 0, 0, None))
+    flat = lambda a: a.reshape((f * b,) + a.shape[2:])
     pred_adv = jax.lax.stop_gradient(
-        interp(jax.lax.stop_gradient(pred_pos_frames), gt_adv,
-               gt_pos_frames, cutoff)
-    )
+        cubic_interpolation_dense(
+            flat(jax.lax.stop_gradient(pred_pos_frames)), flat(gt_adv),
+            flat(gt_pos_frames), cutoff,
+        )
+    ).reshape(pred_pos_frames.shape)
     return gt_adv, pred_adv
 
 
