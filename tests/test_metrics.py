@@ -131,3 +131,44 @@ def test_auction_near_optimal_at_scale(rng):
     ri, ci = linear_sum_assignment(d)
     opt = d[ri, ci].sum()
     assert cost <= opt * 1.1
+
+
+def test_nn1_large_cloud_kernel_matches_oracle(rng):
+    """Candidate-block streaming NN kernel (interpret mode here; the TPU
+    path serves Chamfer beyond the fused kNN kernel's ~24k-candidate VMEM
+    cap)."""
+    from tpugan_tpu.ops.pallas.nn1_kernel import nn1_pallas
+
+    q = rng.standard_normal((2, 200, 3)).astype(np.float32)
+    c = rng.standard_normal((2, 5000, 3)).astype(np.float32)
+    valid = np.ones((2, 5000), bool)
+    valid[:, 4500:] = False
+    bias = np.where(valid, 0.0, 1e10).astype(np.float32)
+    d2, idx = nn1_pallas(jnp.asarray(q), jnp.asarray(c), jnp.asarray(bias))
+    d = np.sum((q[:, :, None] - c[:, None]) ** 2, -1)
+    d[:, :, 4500:] = np.inf
+    np.testing.assert_array_equal(np.asarray(idx), d.argmin(-1))
+    np.testing.assert_allclose(np.asarray(d2), d.min(-1), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_nn1_gradient_matches_reference(rng):
+    import jax
+
+    from tpugan_tpu.ops.pallas.nn1_kernel import nn1_pallas
+
+    q = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((1, 90, 3)).astype(np.float32))
+    bias = jnp.zeros((1, 90), jnp.float32)
+
+    gq, gc = jax.grad(
+        lambda q, c: jnp.sum(nn1_pallas(q, c, bias)[0]), argnums=(0, 1)
+    )(q, c)
+    d2 = jnp.sum((q[:, :, None] - c[:, None]) ** 2, -1)
+    gq_ref, gc_ref = jax.grad(
+        lambda q, c: jnp.sum(jnp.min(
+            jnp.sum((q[:, :, None] - c[:, None]) ** 2, -1), -1)),
+        argnums=(0, 1),
+    )(q, c)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref), atol=1e-4)

@@ -43,6 +43,23 @@ def nearest_neighbor(
         d2, idx = knn_pallas(query, cand, bias, 1)
         return d2[..., 0], idx[..., 0]
 
+    from tpugan_tpu.ops.pallas.nn1_kernel import MAX_M, nn1_pallas
+
+    if (
+        _on_tpu()
+        and query.ndim == 3
+        and cand.shape[-2] <= MAX_M
+        and query.dtype == jnp.float32
+        and cand.shape[-1] == 3
+    ):
+        # eval-scale clouds: candidate-block streaming kernel (the
+        # reference timing harness runs Chamfer at 8 x 79,872 points)
+        if c_valid is None:
+            bias = jnp.zeros(cand.shape[:-1], jnp.float32)
+        else:
+            bias = jnp.where(c_valid, 0.0, BIG)
+        return nn1_pallas(query, cand, bias)
+
     def one_chunk(q):
         d2 = pairwise_sqdist(q, cand)
         if c_valid is not None:
