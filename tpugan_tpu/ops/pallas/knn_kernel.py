@@ -51,11 +51,11 @@ TILE_Q = 128  # fallback; _tile_q picks the largest tile the 16MB VMEM allows
 
 
 def _tile_q(nc: int) -> int:
-    # scratch is TILE_Q * Nc * 4 bytes; 256-row tiles amortize the matmul
-    # and peel overheads (~5% on the 10240-pt forward) and fit the vmem
-    # budget up to ~12MB of scratch. (A round-1 Mosaic crash at 256 inside
-    # the train-step graph no longer reproduces with the fold-peel body.)
-    return 256 if nc * 256 * 4 < 12 * 2 ** 20 else 128
+    # scratch is TILE_Q * Nc * 4 bytes. 256-row tiles now COMPILE (the
+    # round-1 Mosaic crash no longer reproduces with the fold-peel body)
+    # but measure neutral-to-slightly-worse in the full forward
+    # (trace-based bench: 40.0 fps vs 41.2 at 128), so 128 stays.
+    return 128
 
 
 _CHUNK_L = 128          # candidate-chunk width (one lane tile)
