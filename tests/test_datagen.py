@@ -97,9 +97,15 @@ def test_mesh_volume_sampling_box():
         path = make_box_obj(d + "/box.obj", extent=(1.0, 1.0, 1.0))
         pts, vel = obj_volume_to_particles(path, radius=0.05)
         assert vel.shape == pts.shape
-        expected = (1.0 / 0.1) ** 3
-        assert 0.7 * expected <= len(pts) <= 1.3 * expected
+        # the 10x10x10 lattice lies entirely inside the box: the fill must
+        # be EXACT — any loss means shared-edge ray hits flipped parity
+        # (the pre-fix bug carved the whole x==y diagonal plane out).
+        assert len(pts) == 10 ** 3
         assert np.all(np.abs(pts) <= 0.5 + 1e-9)
+        # box center must classify inside
+        from tpugan_tpu.datagen.mesh import load_obj, points_inside_mesh
+        verts, faces = load_obj(path)
+        assert points_inside_mesh(np.zeros((1, 3)), verts, faces)[0]
 
 
 def test_mesh_volume_sampling_sphere_inside():

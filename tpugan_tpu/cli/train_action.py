@@ -96,6 +96,21 @@ def main():
         action_batch_iterator(dataset, cfg.batch_size, seed=cfg.seed), size=2
     )
 
+    # held-out split for the every-ckpt-interval eval pass (reference
+    # train_msr.py:230-262 runs test-loader dumps there)
+    test_dataset = MSRAction3DDataset(
+        cfg.data_dir, frames_per_clip=cfg.frames_per_clip,
+        num_points=cfg.num_points, fps_ratio=cfg.fps_ratio, seed=cfg.seed,
+        train=False,
+    )
+    test_batches = (
+        action_batch_iterator(test_dataset, cfg.batch_size,
+                              seed=cfg.seed + 7)
+        if len(test_dataset) >= cfg.batch_size else None
+    )
+    if test_batches is None:
+        print("no held-out test clips found; skipping test-split eval")
+
     print("Building network")
     models, txs, state = init_action_state(cfg, jax.random.PRNGKey(cfg.seed))
     print(f"Total trainable parameters (sr_net): {param_count(state.sr.params)}")
@@ -155,6 +170,14 @@ def main():
             )
 
         if (n_iter - 1) % cfg.ckpt_every == 0 or n_iter >= cfg.iters:
+            if test_batches is not None:
+                test_cd = _test_eval(
+                    models[0], state, test_batches, cfg, n_iter,
+                    dump=cfg.dump_visualization,
+                )
+                writer.add(n_iter, {"test_Chamfer_distance": test_cd})
+                print(f"iter {n_iter}: test Chamfer (per-point) = "
+                      f"{test_cd:.6f}", flush=True)
             ckpt_future = save_checkpoint_async(
                 state,
                 os.path.join(checkpoint_dir, f"tpugan_checkpoint{n_iter}.ckpt"),
@@ -165,6 +188,53 @@ def main():
         ckpt_future.result()  # join the async writer before exit
     writer.close()
     print("exiting...")
+
+
+# jitted eval fns keyed per generator instance (see cli/train_fluid.py)
+_TEST_EVAL_FNS = {}
+
+
+def _test_eval(sr_model, state, test_batches, cfg, n_iter, dump=False,
+               n_batches=4):
+    """Eval-mode pass over held-out test clips (reference
+    train_msr.py:230-262): per-point test Chamfer on frame 0 of each batch,
+    plus gt/input/pred renders through the PNG visualizer when
+    ``dump`` is set (the reference's Open3D offscreen captures)."""
+    import jax.numpy as jnp
+
+    from tpugan_tpu.data.sampling import dump_pointcloud_visualization
+    from tpugan_tpu.ops.metrics import chamfer
+
+    key = id(sr_model)
+    if key not in _TEST_EVAL_FNS:
+        def fwd(params, lowres, highres):
+            pred, _ = sr_model.apply({"params": params}, lowres, lowres,
+                                     False)
+            cd = chamfer(pred, highres)
+            return pred, jnp.mean(cd) / highres.shape[-2]
+
+        _TEST_EVAL_FNS[key] = jax.jit(fwd)
+    eval_fn = _TEST_EVAL_FNS[key]
+
+    params = jax.device_get(state.sr.params)
+    sample_dir = os.path.join(cfg.log_dir, "samples")
+    cds = []
+    for j in range(n_batches):
+        batch = next(test_batches)
+        lowres = batch["lowres_pos"][0]       # frame 0, [B, n, 3]
+        highres = batch["highres_pos"][0]
+        pred, cd = eval_fn(params, lowres, highres)
+        cds.append(float(cd))
+        if dump:
+            os.makedirs(sample_dir, exist_ok=True)
+            dump_pointcloud_visualization(
+                highres[0], os.path.join(sample_dir, f"gt_iter{n_iter}_{j}.png"))
+            dump_pointcloud_visualization(
+                lowres[0], os.path.join(sample_dir, f"input_iter{n_iter}_{j}.png"))
+            dump_pointcloud_visualization(
+                np.asarray(pred)[0],
+                os.path.join(sample_dir, f"pred_iter{n_iter}_{j}.png"))
+    return float(np.mean(cds))
 
 
 if __name__ == "__main__":

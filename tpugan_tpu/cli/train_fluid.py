@@ -231,7 +231,10 @@ def main():
     print("exiting...")
 
 
-_TEST_EVAL_FN = None
+# jitted eval fns keyed per generator instance (a bare module-global would
+# permanently close over the first call's model across training invocations
+# in one process — tests, notebooks)
+_TEST_EVAL_FNS = {}
 
 
 def _test_eval(sr_model, state, test_batches, cfg, n_iter, dump=False,
@@ -245,8 +248,8 @@ def _test_eval(sr_model, state, test_batches, cfg, n_iter, dump=False,
     from tpugan_tpu.config import DT
     from tpugan_tpu.ops.metrics import chamfer
 
-    global _TEST_EVAL_FN
-    if _TEST_EVAL_FN is None:
+    key = id(sr_model)
+    if key not in _TEST_EVAL_FNS:
         def fwd(params, feature, lowres, highres):
             _, _, padded, valid = sr_model.apply(
                 {"params": params}, feature, lowres, False
@@ -255,7 +258,8 @@ def _test_eval(sr_model, state, test_batches, cfg, n_iter, dump=False,
             denom = jnp.sum(valid, axis=-1) + highres.shape[1]
             return padded, valid, jnp.mean(cd / denom)
 
-        _TEST_EVAL_FN = jax.jit(fwd)
+        _TEST_EVAL_FNS[key] = jax.jit(fwd)
+    eval_fn = _TEST_EVAL_FNS[key]
 
     params = state.sr.params
     cds = []
@@ -268,7 +272,7 @@ def _test_eval(sr_model, state, test_batches, cfg, n_iter, dump=False,
             feature = np.concatenate(
                 [lowres, batch["lowres_vel"][1] * DT], -1
             )
-        padded, valid, cd = _TEST_EVAL_FN(
+        padded, valid, cd = eval_fn(
             params, feature, lowres, batch["highres_pos"][1]
         )
         cds.append(float(cd))
@@ -285,9 +289,11 @@ def _test_eval(sr_model, state, test_batches, cfg, n_iter, dump=False,
 
 
 def _dump_samples(sr_model, state, batch, cfg, n_iter):
-    """Eval-mode sample dumps (reference train_tempo.py:259-297): save gt /
-    input / prediction clouds as .npy (headless equivalent of the Open3D
-    PNG captures)."""
+    """Eval-mode sample dumps (reference train_tempo.py:259-297): gt /
+    input / prediction clouds as .npy plus PNG renders through the
+    headless visualizer (the reference's Open3D offscreen captures)."""
+    from tpugan_tpu.data.sampling import dump_pointcloud_visualization
+
     sample_dir = os.path.join(cfg.log_dir, "samples")
     os.makedirs(sample_dir, exist_ok=True)
     lowres = batch["lowres_pos"][1][:1]
@@ -301,10 +307,14 @@ def _dump_samples(sr_model, state, batch, cfg, n_iter):
         feature, lowres, False,
     )
     pred = np.asarray(padded)[0][np.asarray(valid)[0]]
-    np.save(os.path.join(sample_dir, f"gt_iter{n_iter}.npy"),
-            batch["highres_pos"][1][0])
-    np.save(os.path.join(sample_dir, f"input_iter{n_iter}.npy"), lowres[0])
-    np.save(os.path.join(sample_dir, f"pred_iter{n_iter}.npy"), pred)
+    for name, cloud in (
+        ("gt", batch["highres_pos"][1][0]),
+        ("input", lowres[0]),
+        ("pred", pred),
+    ):
+        np.save(os.path.join(sample_dir, f"{name}_iter{n_iter}.npy"), cloud)
+        dump_pointcloud_visualization(
+            cloud, os.path.join(sample_dir, f"{name}_iter{n_iter}.png"))
 
 
 if __name__ == "__main__":

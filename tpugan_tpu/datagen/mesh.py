@@ -61,25 +61,31 @@ def points_inside_mesh(
 ) -> np.ndarray:
     """Boolean inside-test by +z ray-crossing parity (watertight meshes).
 
-    For each point, count triangles whose xy-projection strictly contains
-    the point and whose plane intersection lies above it; odd count =
-    inside. Edge-on-boundary cases are perturbed away by the callers'
-    lattice offsets.
+    A ray that passes exactly through an edge shared by two triangles
+    would be counted once per triangle under inclusive barycentric bounds,
+    flipping parity (lattice points routinely hit projected edges on
+    axis-aligned meshes: a unit box loses its whole x==y diagonal plane).
+    The ray origin's xy is therefore perturbed by a tiny irrational offset
+    — no lattice/mesh alignment survives it, and the offset is orders of
+    magnitude below any particle spacing.
     """
     a, b, c = _triangle_data(verts, faces)
+    scale = float(np.abs(verts).max()) or 1.0
+    eps = scale * 1e-7 * np.array([np.sqrt(2) - 1, np.sqrt(3) - 1])
     # 2D projected edge vectors for barycentric containment
+    d = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) \
+        - (c[:, 0] - a[:, 0]) * (b[:, 1] - a[:, 1])  # [F]
+    nondegenerate = np.abs(d) > 1e-12
+    safe_d = np.where(nondegenerate, d, 1.0)  # keep arithmetic finite
     out = np.zeros(len(points), bool)
     for s in range(0, len(points), chunk):
         p = points[s:s + chunk]                       # [n, 3]
         # barycentric in xy for all [n, F]
-        d = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) \
-            - (c[:, 0] - a[:, 0]) * (b[:, 1] - a[:, 1])  # [F]
-        px = p[:, None, 0] - a[None, :, 0]
-        py = p[:, None, 1] - a[None, :, 1]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = ((c[:, 1] - a[:, 1]) * px - (c[:, 0] - a[:, 0]) * py) / d
-            v = (-(b[:, 1] - a[:, 1]) * px + (b[:, 0] - a[:, 0]) * py) / d
-        contains = (u >= 0) & (v >= 0) & (u + v <= 1) & (np.abs(d) > 1e-12)
+        px = p[:, None, 0] + eps[0] - a[None, :, 0]
+        py = p[:, None, 1] + eps[1] - a[None, :, 1]
+        u = ((c[:, 1] - a[:, 1]) * px - (c[:, 0] - a[:, 0]) * py) / safe_d
+        v = (-(b[:, 1] - a[:, 1]) * px + (b[:, 0] - a[:, 0]) * py) / safe_d
+        contains = (u >= 0) & (v >= 0) & (u + v <= 1) & nondegenerate
         # z of the intersection
         z = (a[:, 2] + u * (b[:, 2] - a[:, 2]) + v * (c[:, 2] - a[:, 2]))
         crossings = (contains & (z > p[:, None, 2])).sum(1)

@@ -219,6 +219,16 @@ def create_fluid_scene(
         if not placed:
             continue
 
+    if not blobs:
+        # every sampled shape came back empty (e.g. mesh scale below the
+        # particle spacing) or failed placement — a zero-FluidModels scene
+        # would only fail later inside the solver with an opaque error.
+        raise RuntimeError(
+            f"create_fluid_scene: no fluid blob could be placed in "
+            f"{output_dir} (seed={seed}, spacing={spacing}); check shape "
+            f"scales against the particle radius"
+        )
+
     scene = json.loads(json.dumps(SIM_DEFAULTS))  # deep copy
     scene["Configuration"]["particleRadius"] = particle_radius
     scene["RigidBodies"] = [{

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tpugan_tpu.nn.layers import ConvLayer, SharedMLP, leaky_relu_02
-from tpugan_tpu.ops.neighbors import group, knn
+from tpugan_tpu.ops.neighbors import graph_knn, group
 
 
 def _aggregate(y: jnp.ndarray, mode: str) -> jnp.ndarray:
@@ -55,23 +55,28 @@ class EdgeConv(nn.Module):
         pos: Optional[jnp.ndarray] = None,  # [B, N, 3]
         train: bool = True,
         idx: Optional[jnp.ndarray] = None,  # precomputed kNN [B, N, >=k]
+        neighbor: Optional[jnp.ndarray] = None,  # pregathered [B, N, >=k, C]
     ) -> jnp.ndarray:
         # dilated kNN: k neighbors, stride `dilation` (reference Dilated,
         # gcn_lib/pointnet/gcn.py:48-72; stochastic mode unused by models).
         # Callers that already hold a kNN list over the same graph source
-        # (IDGCNLayer's three branches share one) pass it via ``idx``.
-        if idx is None:
-            graph_src = pos if pos is not None else feat
-            _, idx = knn(graph_src, k=self.k)
-        idx = idx[:, :, : self.k : self.dilation]
-
+        # (IDGCNLayer's three branches share one) pass it via ``idx`` — or
+        # the gathered neighbor table itself via ``neighbor`` so the gather
+        # runs once per layer instead of once per branch.
         half = self.out_features // 2
         # (A gather-hoisted variant — affines on ungrouped rows, gather
         # after — was measured SLOWER on TPU: it halves each gathered
         # table's width but doubles the number of gathers and their
         # layout-fixup copies, 22.0 -> 25.6 ms on the 10240-pt forward.
         # The grouped affines stay; see BENCH_NOTES.md round 2.)
-        neighbor = group(feat, idx)                 # [B, N, k', C]
+        if neighbor is None:
+            if idx is None:
+                graph_src = pos if pos is not None else feat
+                _, idx = graph_knn(graph_src, k=self.k)
+            idx = idx[:, :, : self.k : self.dilation]
+            neighbor = group(feat, idx)             # [B, N, k', C]
+        else:
+            neighbor = neighbor[:, :, : self.k : self.dilation]
         edge = neighbor - feat[:, :, None, :]
         node_affine = ConvLayer(half, act=leaky_relu_02, norm=self.norm,
                                 spectral_norm=self.spectral_norm)
@@ -116,16 +121,18 @@ class IDGCNLayer(nn.Module):
         # All three branches (reference gcn_lib/pointnet/gcn.py:258-265)
         # build graphs from the same bottleneck features: local kNN is the
         # 9-prefix and the dilated EdgeConv the ::2 stride of one shared
-        # kNN(20) list — identical results, one kernel instead of three.
-        _, idx20 = knn(x, k=20)
-        local_max = jnp.max(group(x, idx20[:, :, :9]), axis=2)  # [B, N, C/4]
+        # kNN(20) list — identical results, one kernel AND one neighbor
+        # gather instead of three (the branches slice the gathered table).
+        _, idx20 = graph_knn(x, k=20)
+        nbr20 = group(x, idx20)                                 # [B, N, 20, C/4]
+        local_max = jnp.max(nbr20[:, :, :9], axis=2)            # [B, N, C/4]
 
         feat1 = EdgeConv(c // 4, k=20, dilation=1, norm=self.norm,
                          spectral_norm=self.spectral_norm)(x, train=train,
-                                                           idx=idx20)
+                                                           neighbor=nbr20)
         feat2 = EdgeConv(c // 4, k=20, dilation=2, norm=self.norm,
                          spectral_norm=self.spectral_norm)(x, train=train,
-                                                           idx=idx20)
+                                                           neighbor=nbr20)
 
         y = jnp.concatenate([local_max, feat1, feat2], axis=-1)
         y = ConvLayer(self.out_features, act=leaky_relu_02, norm=self.norm,

@@ -44,6 +44,28 @@ _CHUNK = 2048
 # TILE_Q * Nc * 4 bytes); beyond this the chunked XLA path takes over.
 _PALLAS_MAX_NC = 24576
 
+# Graph-topology kNN (EdgeConv/IDGCN feature-space graph builds) may use the
+# approximate bf16 TPU kernel: the graph is a training detail, not an eval
+# contract (reference gcn_lib/pointnet/gcn.py:13-22 rebuilds it every layer
+# from evolving features). Toggle read at trace time; CLIs expose
+# --exact_graph. Metrics, losses, ball queries and interpolation always run
+# exact regardless of this flag.
+APPROX_GRAPH_KNN = True
+
+
+def set_approx_graph_knn(enabled: bool) -> None:
+    global APPROX_GRAPH_KNN
+    APPROX_GRAPH_KNN = bool(enabled)
+
+
+def graph_knn(
+    x: jnp.ndarray,
+    k: int,
+    c_valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kNN for dynamic-graph construction; honors ``APPROX_GRAPH_KNN``."""
+    return knn(x, k=k, c_valid=c_valid, approx=APPROX_GRAPH_KNN)
+
 
 def _on_tpu() -> bool:
     try:
@@ -114,6 +136,7 @@ def knn(
     k: int = 16,
     c_valid: Optional[jnp.ndarray] = None,
     chunk: int = _CHUNK,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-nearest-neighbors, sorted ascending by distance.
 
@@ -127,6 +150,9 @@ def knn(
         distance 0, matching knn_points).
       k: number of neighbors.
       c_valid: optional [B, Nc] bool; invalid candidates are never selected.
+      approx: allow the bf16 reduced-pass TPU kernel (feature-space graph
+        builds only — a handful of queries may miss a tail neighbor; never
+        used for metrics/losses). Off-TPU the flag is a no-op (exact).
     Returns:
       (sqdist [B, Nq, k], idx [B, Nq, k] int32)
     """
@@ -148,7 +174,7 @@ def knn(
             bias = jnp.zeros(cand.shape[:-1], jnp.float32)
         else:
             bias = jnp.where(c_valid, 0.0, BIG)
-        return knn_pallas(query, cand, bias, k)
+        return knn_pallas(query, cand, bias, k, approx)
 
     def one_chunk(q):
         d2 = _masked_sqdist(q, cand, c_valid)

@@ -76,6 +76,18 @@ def _chunk_kp(k: int) -> int:
     return 3
 
 
+def _chunk_kp_approx(k: int) -> int:
+    """Fold count for the approximate mode: tolerate a small per-query
+    chance of dropping a tail neighbor (P(one lane column holds > kp of
+    the true top-k) ~ Poisson tail; at k=20/kp=3 the expected dropped
+    neighbors are ~0.3% of queries, at k<=12/kp=2 ~1-2%) in exchange for
+    ~kp^2-scaling fold work. Only used for feature-space graph builds
+    where the kNN graph is a training detail, never for metrics."""
+    if k >= 16:
+        return 3
+    return 2
+
+
 def _use_chunked(nc: int, k: int, d: int) -> bool:
     """Dispatch predicate for the chunked fold-peel (patchable for
     in-context A/B bisection)."""
@@ -94,11 +106,21 @@ def _peel_loop(scratch, d2_ref, idx_ref, k):
         scratch[:] = jnp.where(iota == am[:, None], BIG, row)
 
 
-def _compute_d2(q_ref, c_ref, v_ref):
+def _compute_d2(q_ref, c_ref, v_ref, approx=False):
     q = q_ref[0]                                   # [TQ, D]
     c = c_ref[0]                                   # [Nc, D]
     q2 = jnp.sum(q * q, axis=1, keepdims=True)     # [TQ, 1]
     c2 = jnp.sum(c * c, axis=1)[None, :]           # [1, Nc]
+    if approx:
+        # single bf16 MXU pass; ranking flips between near-equal distances
+        # are accepted by the approximate contract.
+        cross = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jnp.maximum(q2 + c2 - 2.0 * cross, 0.0) + v_ref[0]
+        return d2.astype(jnp.bfloat16)
     # precision HIGHEST: Mosaic's default f32 matmul runs bf16 passes and
     # ~1e-1 distance error flips neighbor rankings (measured on v5e).
     cross = jax.lax.dot_general(
@@ -116,7 +138,7 @@ _MAXI = 2**31 - 1
 
 def _knn_chunked_kernel(
     q_ref, c_ref, v_ref, d2_ref, idx_ref, scratch, cd, ci, *, k, kp,
-    unroll
+    unroll, approx=False
 ):
     """Chunked fold-peel extraction; see module docstring.
 
@@ -139,7 +161,7 @@ def _knn_chunked_kernel(
     """
     tq, nc = scratch.shape
     S = nc // _CHUNK_L
-    scratch[:] = _compute_d2(q_ref, c_ref, v_ref)
+    scratch[:] = _compute_d2(q_ref, c_ref, v_ref, approx=approx)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, _CHUNK_L), 1)
 
@@ -159,7 +181,10 @@ def _knn_chunked_kernel(
     def fold(taken):
         def body(i, carry):
             m, src = carry
-            tile = scratch[:, _tile_at(i)]
+            # bf16 scratch (approx mode) halves the fold's VMEM traffic;
+            # compute stays f32 — Mosaic cannot relayout the i1 mask a
+            # bf16-tiled compare would produce.
+            tile = scratch[:, _tile_at(i)].astype(jnp.float32)
             for mj, srcj in taken:
                 tile = jnp.where((srcj == i) & (tile == mj), BIG, tile)
             better = tile < m          # strict: ties keep the smaller i
@@ -200,6 +225,10 @@ def _knn_chunked_kernel(
         idx_ref[0, :, j] = sel
         cd[:] = jnp.where(idxs == sel[:, None], BIG, vals)
 
+    if approx:
+        # approximate contract: no exactness certificate, no fallback.
+        return
+
     # Phase 3: exactness certificate, free of scratch traffic: the only
     # failure mode is a lane column whose kp extracted local minima did
     # not exhaust its members of the true top-k — then its kp-th local
@@ -221,7 +250,7 @@ def _knn_kernel_plain(q_ref, c_ref, v_ref, d2_ref, idx_ref, scratch, *, k):
     _peel_loop(scratch, d2_ref, idx_ref, k)
 
 
-def _knn_pallas_impl(query, cand, cvalid_bias, k):
+def _knn_pallas_impl(query, cand, cvalid_bias, k, approx=False):
     b, nq, d = query.shape
     nc = cand.shape[1]
     tile_q = _tile_q(nc)
@@ -242,10 +271,11 @@ def _knn_pallas_impl(query, cand, cvalid_bias, k):
 
     chunked = _use_chunked(nc, k, d)
     if chunked:
-        kp = _chunk_kp(k)
+        kp = _chunk_kp_approx(k) if approx else _chunk_kp(k)
+        vdtype = jnp.bfloat16 if approx else jnp.float32
         d2, idx = pl.pallas_call(
             functools.partial(_knn_chunked_kernel, k=k, kp=kp,
-                              unroll=not interpret),
+                              unroll=not interpret, approx=approx),
             grid=(b, nq_p // tile_q),
             in_specs=in_specs,
             out_specs=[
@@ -259,7 +289,7 @@ def _knn_pallas_impl(query, cand, cvalid_bias, k):
                 jax.ShapeDtypeStruct((b, nq_p, k), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((tile_q, nc), jnp.float32),
+                pltpu.VMEM((tile_q, nc), vdtype),
                 pltpu.VMEM((tile_q, kp * _CHUNK_L), jnp.float32),
                 pltpu.VMEM((tile_q, kp * _CHUNK_L), jnp.int32),
             ],
@@ -292,23 +322,30 @@ def _knn_pallas_impl(query, cand, cvalid_bias, k):
     return d2[:, :nq], idx[:, :nq]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def knn_pallas(
     query: jnp.ndarray,        # [B, Nq, D]
     cand: jnp.ndarray,         # [B, Nc, D]
     cvalid_bias: jnp.ndarray,  # [B, Nc] f32: 0 valid / BIG invalid
     k: int,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact kNN, ascending: (d2 [B, Nq, k], idx [B, Nq, k] int32)."""
-    return _knn_pallas_impl(query, cand, cvalid_bias, k)
+    """kNN, ascending: (d2 [B, Nq, k], idx [B, Nq, k] int32).
+
+    ``approx=True`` runs the bf16 reduced-fold variant (see
+    ``_chunk_kp_approx``): distances rank in bf16 and a small fraction of
+    queries may miss a tail neighbor. Only valid for feature-space graph
+    builds; shapes that dispatch to the plain peel stay exact.
+    """
+    return _knn_pallas_impl(query, cand, cvalid_bias, k, approx)
 
 
-def _knn_fwd(query, cand, cvalid_bias, k):
-    d2, idx = _knn_pallas_impl(query, cand, cvalid_bias, k)
+def _knn_fwd(query, cand, cvalid_bias, k, approx):
+    d2, idx = _knn_pallas_impl(query, cand, cvalid_bias, k, approx)
     return (d2, idx), (query, cand, idx)
 
 
-def _knn_bwd(k, residuals, cotangents):
+def _knn_bwd(k, approx, residuals, cotangents):
     query, cand, idx = residuals
     g_d2, _ = cotangents
     b, nq, kk = idx.shape
