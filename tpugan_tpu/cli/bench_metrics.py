@@ -20,8 +20,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--points", type=int, default=79872)
-    p.add_argument("--emd_points", type=int, default=8192,
-                   help="EMD solve size (reference subsamples to k*1024)")
+    p.add_argument("--emd_points", type=int, default=79872,
+                   help="EMD solve size; the reference harness config "
+                        "(8 x 79,872) runs ~5 min with the scatter-free "
+                        "auction (batch-sliced above n=32768)")
     p.add_argument("--reps", type=int, default=10)
     p.add_argument("--emd_iters", type=int, default=100)
     opt = p.parse_args()

@@ -103,11 +103,108 @@ def chamfer(
     return out
 
 
+def _auction_phase(x, y, price, eps, iters, obj_chunk=2048):
+    """One eps-phase of the Jacobi auction, scatter- and sort-free.
+
+    TPU design notes: a previous formulation used ``lax.top_k(value, 2)``
+    (lowered as a full row sort on TPU) and ``.at[].max/.min`` scatters
+    (serialized element loops) — 37 s for 100 rounds at 8 x 8192. Here the
+    per-bidder top-2 is two fused max/argmax passes over regenerated cost
+    rows (MXU matmul, never materializing [B, N, N] in HBM), and the
+    per-object winner resolution is a chunked compare-reduce; bidder-side
+    state updates are gathers only. The price vector is carried across
+    phases for eps-scaling warm starts.
+
+    Returns (price, assign) with assign[i] = object of bidder i or -1.
+    """
+    b, n, _ = x.shape
+    eps = jnp.float32(eps)
+    iota_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    iota_j_full = jnp.arange(n, dtype=jnp.int32)
+    NEG = jnp.float32(-1e30)
+
+    # bound transient [B, CH, N] value blocks to ~1 GB so eval-scale solves
+    # (8 x 79,872: a full row set would be 5.2 GB) never exhaust HBM
+    budget = (1 << 30) // (b * n * 4)
+    bid_chunk = max(256, min(_CHUNK, (budget // 128) * 128))
+    obj_chunk = max(256, min(obj_chunk, (budget // 128) * 128))
+
+    def bid_pass(price, unassigned):
+        # per-bidder best/second-best value over all objects
+        def one_chunk(xc):
+            v = -pairwise_sqdist(xc, y) - price[:, None, :]     # [B, CH, N]
+            v1 = jnp.max(v, axis=-1)
+            a1 = jnp.argmax(v, axis=-1).astype(jnp.int32)
+            iota = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+            v2 = jnp.max(jnp.where(iota == a1[..., None], NEG, v), axis=-1)
+            return a1, v1 - v2
+        best_j, gamma = _chunked_query(one_chunk, x, bid_chunk)
+        bid = jnp.where(unassigned, gamma + eps, NEG)           # [B, N]
+        return best_j, bid
+
+    def winner_pass(best_j, bid):
+        # per-object max bid + lowest-index winning bidder, object-chunked
+        nchunks = -(-n // obj_chunk)
+        pad = nchunks * obj_chunk - n
+        jc = jnp.pad(iota_j_full, (0, pad), constant_values=n).reshape(
+            nchunks, obj_chunk
+        )
+
+        def one_chunk(j_ids):
+            m = best_j[:, :, None] == j_ids[None, None, :]      # [B, N, CHj]
+            bids = jnp.where(m, bid[:, :, None], NEG)
+            bmax = jnp.max(bids, axis=1)                        # [B, CHj]
+            win = jnp.min(
+                jnp.where(bids >= bmax[:, None, :], iota_i[:, :, None], n),
+                axis=1,
+            ).astype(jnp.int32)
+            return bmax, win
+
+        bmax, win = jax.lax.map(one_chunk, jc)                  # [nc, B, CHj]
+        fix = lambda a: jnp.moveaxis(a, 0, 1).reshape(
+            b, nchunks * obj_chunk)[:, :n]
+        return fix(bmax), fix(win)
+
+    def cond(state):
+        it, price, owner, assign = state
+        return jnp.logical_and(it < iters, jnp.any(assign < 0))
+
+    def body(state):
+        it, price, owner, assign = state
+        unassigned = assign < 0
+        best_j, bid = bid_pass(price, unassigned)
+        bid_max, winner = winner_pass(best_j, bid)
+        got = bid_max > NEG                                     # objects w/ bids
+
+        price = price + jnp.where(got, bid_max, 0.0)
+
+        # bidder i won iff it bid on best_j[i] and was resolved the winner
+        won = unassigned & (
+            jnp.take_along_axis(winner, best_j, axis=1) == iota_i
+        )
+        # a currently-assigned bidder is evicted iff its object was
+        # re-auctioned (winners were unassigned bidders, a disjoint set)
+        obj = jnp.where(assign >= 0, assign, 0)
+        lost = (assign >= 0) & jnp.take_along_axis(got, obj, axis=1)
+        assign = jnp.where(won, best_j, jnp.where(lost, -1, assign))
+        owner = jnp.where(got, winner, owner)
+        return it + 1, price, owner, assign
+
+    owner0 = jnp.full((b, n), -1, dtype=jnp.int32)
+    assign0 = jnp.full((b, n), -1, dtype=jnp.int32)
+    _, price, _, assign = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), price, owner0, assign0)
+    )
+    return price, assign
+
+
 def auction_assignment(
     x: jnp.ndarray,
     y: jnp.ndarray,
     eps: float = 0.05,
     iters: int = 100,
+    phases: int = 1,
+    theta: float = 6.0,
 ) -> jnp.ndarray:
     """Approximate min-cost bijective assignment x[i] -> y[assignment[i]] via
     the Bertsekas auction algorithm, vectorized as a Jacobi auction in a
@@ -115,9 +212,16 @@ def auction_assignment(
 
     TPU-native equivalent of the MSN CUDA EMD kernel (reference
     loss.py:29-78; constraints there: n % 1024 == 0, batch <= 512, eval
-    only). Here any n works; ``iters`` caps the bidding rounds, so with few
-    iterations the result is approximate exactly like the reference's
-    (eps, iters) trade-off.
+    only). Here any n works; ``iters`` caps the bidding rounds per phase, so
+    with few iterations the result is approximate exactly like the
+    reference's (eps, iters) trade-off.
+
+    ``phases > 1`` enables epsilon scaling: earlier phases run the auction
+    at eps * theta^p to rough out prices cheaply (each phase early-exits
+    once every bidder is assigned), then assignments restart at
+    progressively smaller eps down to the target — the standard cure for
+    the auction's slow tail at small eps. phases=1 with the target eps
+    reproduces the single-phase contract.
 
     Args:
       x: [B, N, 3] sources.  y: [B, N, 3] targets.
@@ -126,65 +230,20 @@ def auction_assignment(
       unassigned bidders fall back to their nearest target).
     """
     b, n, _ = x.shape
-    # benefit[i, j] = -cost; auction maximizes total benefit.
-    cost = pairwise_sqdist(x, y)  # [B, N, N]
-    benefit = -cost
-    eps = jnp.float32(eps)
-
-    price0 = jnp.zeros((b, n), dtype=jnp.float32)
-    owner0 = jnp.full((b, n), -1, dtype=jnp.int32)   # owner[j] = bidder or -1
-    assign0 = jnp.full((b, n), -1, dtype=jnp.int32)  # assign[i] = object or -1
-
-    barange = jnp.arange(b)[:, None]
-    iota_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
-
-    def cond(state):
-        it, price, owner, assign = state
-        return jnp.logical_and(it < iters, jnp.any(assign < 0))
-
-    def body(state):
-        it, price, owner, assign = state
-        value = benefit - price[:, None, :]                    # [B, N, N]
-        top2, top2_idx = jax.lax.top_k(value, 2)
-        best_j = top2_idx[..., 0].astype(jnp.int32)            # [B, N]
-        gamma = top2[..., 0] - top2[..., 1] + eps              # bid increment
-        unassigned = assign < 0                                # [B, N]
-        bid = jnp.where(unassigned, gamma, -jnp.inf)           # [B, N]
-
-        # Per-object maximum bid (segment max over bidders -> objects).
-        bid_max = jnp.full((b, n), -jnp.inf).at[barange, best_j].max(bid)
-        got = bid_max > -jnp.inf                               # objects w/ bids
-
-        # Winner per object: lowest-index bidder achieving the max bid.
-        achieves = unassigned & (bid >= jnp.take_along_axis(bid_max, best_j, axis=1))
-        winner = (
-            jnp.full((b, n), n, dtype=jnp.int32)
-            .at[barange, best_j]
-            .min(jnp.where(achieves, iota_i, n))
-        )
-        winner = jnp.where(got, winner, -1)
-
-        # Price rise on auctioned objects.
-        price = price + jnp.where(got, jnp.where(jnp.isfinite(bid_max), bid_max, 0.0), 0.0)
-
-        # Evict previous owners of re-auctioned objects (disjoint from
-        # winners: owners are assigned, winners were unassigned).
-        evict_bidder = jnp.where(got & (owner >= 0), owner, n)
-        assign = assign.at[barange, evict_bidder].set(-1, mode="drop")
-
-        # Record new ownership.
-        owner = jnp.where(got, winner, owner)
-        iota_j = iota_i
-        assign = assign.at[barange, jnp.where(got, winner, n)].set(
-            iota_j, mode="drop"
-        )
-        return it + 1, price, owner, assign
-
-    _, _, _, assign = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), price0, owner0, assign0)
-    )
+    if n >= 32768 and b > 1:
+        # eval-scale solves are per-item independent; full batches at
+        # 8 x 79,872 fault the device under memory pressure — slice.
+        return jnp.concatenate([
+            auction_assignment(x[i:i + 1], y[i:i + 1], eps, iters,
+                               phases, theta)
+            for i in range(b)
+        ], axis=0)
+    price = jnp.zeros((b, n), dtype=jnp.float32)
+    assign = None
+    for p in range(phases - 1, -1, -1):
+        price, assign = _auction_phase(x, y, price, eps * theta ** p, iters)
     # Fall back to nearest target for any bidder left unassigned at the cap.
-    nn_idx = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+    _, nn_idx = nearest_neighbor(x, y)
     return jnp.where(assign < 0, nn_idx, assign)
 
 
