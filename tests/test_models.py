@@ -113,6 +113,30 @@ def test_srnet_forward(rng):
     assert np.all(np.asarray(valid)[:, ::r])
 
 
+def test_srnet_bf16_compute_tracks_f32(rng):
+    # bf16 inference mode: same params, inner activations in bfloat16.
+    # Offsets/mask heads promote back to f32; predictions must track the
+    # exact forward to bf16 resolution (graph ties may flip a few
+    # neighbors, so compare cloud-level Chamfer, not elementwise).
+    from tpugan_tpu.ops.metrics import chamfer
+
+    b, n, r = 1, 48, 4
+    pos = _cloud(rng, b, n)
+    f32 = SRNet(in_feats=3, node_emb_dim=32, upsample_ratio=r)
+    bf16 = SRNet(in_feats=3, node_emb_dim=32, upsample_ratio=r,
+                 compute_dtype=jnp.bfloat16)
+    v = f32.init(jax.random.PRNGKey(0), pos, pos, False)
+    exp_a, mask_a, pad_a, val_a = f32.apply(v, pos, pos, False)
+    exp_b, mask_b, pad_b, val_b = bf16.apply(v, pos, pos, False)
+    assert exp_b.dtype == jnp.float32 and mask_b.dtype == jnp.float32
+    cd = float(jnp.mean(chamfer(pad_a, pad_b, a_valid=val_a, b_valid=val_b)))
+    scale = float(jnp.mean(jnp.sum(pos**2, -1)))
+    assert cd / (exp_a.shape[1] * scale) < 5e-3
+    # the binary keep-decisions should almost all agree
+    agree = float(jnp.mean((mask_a > 0.01) == (mask_b > 0.01)))
+    assert agree > 0.95
+
+
 def test_srnet_velocity_features(rng):
     pos = _cloud(rng, 1, 32)
     feat = jnp.concatenate([pos, 0.025 * _cloud(rng, 1, 32)], axis=-1)

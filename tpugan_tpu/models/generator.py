@@ -11,7 +11,7 @@ static under jit.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,7 @@ class GCNFeatureExtractor(nn.Module):
     layer_num: int
     node_emb_dim: int = 128
     out_dim: int = 128
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -38,13 +39,13 @@ class GCNFeatureExtractor(nn.Module):
         pos: Optional[jnp.ndarray] = None,  # graph by pos when C_in > 3
         train: bool = True,
     ) -> jnp.ndarray:
-        x = EdgeConv(self.node_emb_dim, k=20, mlp_layer=True)(
-            feature, pos=pos, train=train
-        )
+        x = EdgeConv(self.node_emb_dim, k=20, mlp_layer=True,
+                     dtype=self.dtype)(feature, pos=pos, train=train)
         outs = []
         for l in range(1, self.layer_num):
             out_dim = self.out_dim if l == self.layer_num - 1 else self.node_emb_dim
-            x = IDGCNLayer(out_dim, residual=True)(x, train=train)
+            x = IDGCNLayer(out_dim, residual=True,
+                           dtype=self.dtype)(x, train=train)
             outs.append(x)
         return jnp.concatenate(outs, axis=-1)
 
@@ -57,6 +58,7 @@ class UpsamplingModule(nn.Module):
 
     upsample_ratio: int
     gcn_layer: int = 2
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feature: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -64,11 +66,14 @@ class UpsamplingModule(nn.Module):
         out_dim = 3 * self.upsample_ratio
         for l in range(self.gcn_layer):
             k = 4 if l == self.gcn_layer - 1 else 12
-            feature = ConvLayer(in_dim // 4, act=None)(feature, train=train)
-            feature = EdgeConv(in_dim, k=k, aggregate="max", mlp_layer=True)(
-                feature, train=train
-            )
-        feature = SharedMLP([out_dim // 2, out_dim])(feature, train=train)
+            feature = ConvLayer(in_dim // 4, act=None,
+                                dtype=self.dtype)(feature, train=train)
+            feature = EdgeConv(in_dim, k=k, aggregate="max", mlp_layer=True,
+                               dtype=self.dtype)(feature, train=train)
+        feature = SharedMLP([out_dim // 2, out_dim],
+                            dtype=self.dtype)(feature, train=train)
+        # final offset projection promotes back to f32 (f32 params,
+        # dtype=None) — predicted coordinates stay full precision
         feature = nn.Dense(out_dim, use_bias=True)(feature)
         return feature                                    # [B, N, 3r]
 
@@ -80,21 +85,24 @@ class BinaryMaskingModule(nn.Module):
     ends in a ReLU scalar."""
 
     gcn_layer: int = 2
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feature: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         in_dim = feature.shape[-1]
         for l in range(self.gcn_layer):
-            feature = ConvLayer(in_dim // 4, act=None)(feature, train=train)
+            feature = ConvLayer(in_dim // 4, act=None,
+                                dtype=self.dtype)(feature, train=train)
             if l != self.gcn_layer - 1:
-                feature = EdgeConv(in_dim, k=12, aggregate="max", mlp_layer=True)(
-                    feature, train=train
-                )
+                feature = EdgeConv(in_dim, k=12, aggregate="max",
+                                   mlp_layer=True,
+                                   dtype=self.dtype)(feature, train=train)
             else:
-                feature = EdgeConv(in_dim, k=8, aggregate="sum", mlp_layer=False)(
-                    feature, train=train
-                )
-        feature = SharedMLP([in_dim // 2, in_dim // 4])(feature, train=train)
+                feature = EdgeConv(in_dim, k=8, aggregate="sum",
+                                   mlp_layer=False,
+                                   dtype=self.dtype)(feature, train=train)
+        feature = SharedMLP([in_dim // 2, in_dim // 4],
+                            dtype=self.dtype)(feature, train=train)
         # Positive bias init keeps the ReLU head alive at initialization.
         # With zero bias the whole head can start identically dead (measured:
         # some seeds give mask ≡ 0 at emb_dim 128), which zeroes the masking
@@ -169,15 +177,21 @@ class SRNet(nn.Module):
     upsample_ratio: int = 8
     feature_extractor_depth: int = 3
     epsilon: float = 0.01
+    # bf16 inference mode: inner conv/gather activations in bfloat16 (f32
+    # params; the offset projection and mask head promote back to f32, and
+    # position expansion is always f32). None = exact f32 everywhere.
+    compute_dtype: Optional[Any] = None
 
     def setup(self):
         self.feature_extractor = GCNFeatureExtractor(
             layer_num=self.feature_extractor_depth,
             node_emb_dim=self.node_emb_dim,
             out_dim=self.node_emb_dim,
+            dtype=self.compute_dtype,
         )
-        self.upsampling_block = UpsamplingModule(self.upsample_ratio)
-        self.filter_block = BinaryMaskingModule()
+        self.upsampling_block = UpsamplingModule(self.upsample_ratio,
+                                                 dtype=self.compute_dtype)
+        self.filter_block = BinaryMaskingModule(dtype=self.compute_dtype)
 
     def __call__(
         self,
@@ -246,14 +260,17 @@ class NoMaskSRNet(nn.Module):
     node_emb_dim: int = 128
     upsample_ratio: int = 8
     feature_extractor_depth: int = 3
+    compute_dtype: Optional[Any] = None
 
     def setup(self):
         self.feature_extractor = GCNFeatureExtractor(
             layer_num=self.feature_extractor_depth,
             node_emb_dim=self.node_emb_dim,
             out_dim=self.node_emb_dim,
+            dtype=self.compute_dtype,
         )
-        self.upsampling_block = UpsamplingModule(self.upsample_ratio)
+        self.upsampling_block = UpsamplingModule(self.upsample_ratio,
+                                                 dtype=self.compute_dtype)
 
     def __call__(
         self, feature: jnp.ndarray, pos: jnp.ndarray, train: bool = True

@@ -9,7 +9,7 @@ the elementwise work into the surrounding matmuls.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -47,6 +47,9 @@ class EdgeConv(nn.Module):
     aggregate: str = "max"
     norm: str = "none"
     spectral_norm: bool = False
+    # bf16 compute halves the [B, N, k, C] grouped tensors' HBM traffic
+    # (gathers and layout copies dominate the forward); params stay f32.
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -69,6 +72,8 @@ class EdgeConv(nn.Module):
         # table's width but doubles the number of gathers and their
         # layout-fixup copies, 22.0 -> 25.6 ms on the 10240-pt forward.
         # The grouped affines stay; see BENCH_NOTES.md round 2.)
+        if self.dtype is not None:
+            feat = feat.astype(self.dtype)
         if neighbor is None:
             if idx is None:
                 graph_src = pos if pos is not None else feat
@@ -77,21 +82,26 @@ class EdgeConv(nn.Module):
             neighbor = group(feat, idx)             # [B, N, k', C]
         else:
             neighbor = neighbor[:, :, : self.k : self.dilation]
+            if self.dtype is not None:
+                neighbor = neighbor.astype(self.dtype)
         edge = neighbor - feat[:, :, None, :]
         node_affine = ConvLayer(half, act=leaky_relu_02, norm=self.norm,
-                                spectral_norm=self.spectral_norm)
+                                spectral_norm=self.spectral_norm,
+                                dtype=self.dtype)
         edge_affine = ConvLayer(half, act=leaky_relu_02, norm=self.norm,
-                                spectral_norm=self.spectral_norm)
+                                spectral_norm=self.spectral_norm,
+                                dtype=self.dtype)
         y = (node_affine(neighbor, train=train)
              + edge_affine(edge, train=train))
 
         if self.mlp_layer:
             y = SharedMLP([half, self.out_features], norm=self.norm,
-                          spectral_norm=self.spectral_norm)(y, train=train)
+                          spectral_norm=self.spectral_norm,
+                          dtype=self.dtype)(y, train=train)
             return _aggregate(y, self.aggregate)        # [B, N, C_out]
 
         head = ConvLayer(self.out_features, act=None, norm=self.norm,
-                         spectral_norm=self.spectral_norm)
+                         spectral_norm=self.spectral_norm, dtype=self.dtype)
         if self.norm == "none" and self.aggregate in ("sum", "mean"):
             # linear head commutes with linear aggregation: aggregate the
             # half-width tensor first, then one ungrouped conv
@@ -110,12 +120,13 @@ class IDGCNLayer(nn.Module):
     layer_norm: bool = False
     residual: bool = True
     spectral_norm: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         c = feat.shape[-1]
         btn = ConvLayer(c // 4, act=None, norm=self.norm,
-                        spectral_norm=self.spectral_norm)
+                        spectral_norm=self.spectral_norm, dtype=self.dtype)
         x = btn(feat, train=train)                  # [B, N, C/4]
 
         # All three branches (reference gcn_lib/pointnet/gcn.py:258-265)
@@ -128,20 +139,22 @@ class IDGCNLayer(nn.Module):
         local_max = jnp.max(nbr20[:, :, :9], axis=2)            # [B, N, C/4]
 
         feat1 = EdgeConv(c // 4, k=20, dilation=1, norm=self.norm,
-                         spectral_norm=self.spectral_norm)(x, train=train,
-                                                           neighbor=nbr20)
+                         spectral_norm=self.spectral_norm,
+                         dtype=self.dtype)(x, train=train, neighbor=nbr20)
         feat2 = EdgeConv(c // 4, k=20, dilation=2, norm=self.norm,
-                         spectral_norm=self.spectral_norm)(x, train=train,
-                                                           neighbor=nbr20)
+                         spectral_norm=self.spectral_norm,
+                         dtype=self.dtype)(x, train=train, neighbor=nbr20)
 
         y = jnp.concatenate([local_max, feat1, feat2], axis=-1)
         y = ConvLayer(self.out_features, act=leaky_relu_02, norm=self.norm,
-                      spectral_norm=self.spectral_norm)(y, train=train)
+                      spectral_norm=self.spectral_norm,
+                      dtype=self.dtype)(y, train=train)
 
         if self.layer_norm:
             y = nn.LayerNorm()(y)
         if self.residual:
             skip = ConvLayer(self.out_features, act=None, norm=self.norm,
-                             spectral_norm=self.spectral_norm)(feat, train=train)
+                             spectral_norm=self.spectral_norm,
+                             dtype=self.dtype)(feat, train=train)
             y = y + skip
         return y

@@ -15,7 +15,7 @@ discriminator flavor is the usual ``bias = not bn`` (discriminator.py:68).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -56,13 +56,17 @@ class ConvLayer(nn.Module):
     norm: str = "none"
     spectral_norm: bool = False
     use_bias: Optional[bool] = None  # None -> reference gcn_lib quirk
+    # compute dtype: None keeps f32 (promotion of f32 params); bf16 halves
+    # the HBM traffic of the activation tensors between convs/gathers and
+    # runs the MXU at full bf16 rate. Params always stay f32.
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         use_bias = self.use_bias
         if use_bias is None:
             use_bias = self.norm in ("batch", "ins")
-        dense = nn.Dense(self.features, use_bias=use_bias)
+        dense = nn.Dense(self.features, use_bias=use_bias, dtype=self.dtype)
         if self.spectral_norm:
             x = nn.SpectralNorm(dense)(x, update_stats=train)
         else:
@@ -90,6 +94,7 @@ class SharedMLP(nn.Module):
     norm: str = "none"
     spectral_norm: bool = False
     use_bias: Optional[bool] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -100,6 +105,7 @@ class SharedMLP(nn.Module):
                 norm=self.norm,
                 spectral_norm=self.spectral_norm,
                 use_bias=self.use_bias,
+                dtype=self.dtype,
             )(x, train=train)
         return x
 

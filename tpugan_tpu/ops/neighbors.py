@@ -158,6 +158,12 @@ def knn(
     """
     if cand is None:
         cand = query
+    if query.dtype == jnp.bfloat16:
+        # bf16-activation callers (generator inference mode) still ride the
+        # Pallas kernel: the f32 upcast is a cheap fused elementwise op and
+        # the approx kernel re-downcasts its distance pass internally.
+        query = query.astype(jnp.float32)
+        cand = cand.astype(jnp.float32)
     nc = cand.shape[-2]
     k_eff = min(k, nc)
 
