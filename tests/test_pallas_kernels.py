@@ -120,6 +120,18 @@ def test_fps_pallas_matches_greedy(rng):
         np.testing.assert_array_equal(fidx[b], sel)
 
 
+def test_fps_pallas_unrolled_schedule_identical(rng):
+    # The TPU path statically unrolls 8 dependent rounds per fori_loop
+    # iteration (scalar-core overhead amortization); m=30 is not a multiple
+    # of 8 so the overshoot-masking in ``record`` is exercised too.
+    pos = jnp.asarray(rng.standard_normal((2, 300, 3)).astype(np.float32))
+    pen = jnp.zeros((2, 300), jnp.float32)
+    start = jnp.zeros((2,), jnp.int32)
+    rolled = np.asarray(fps_pallas(pos, 30, pen, start, unroll_group=1))
+    unrolled = np.asarray(fps_pallas(pos, 30, pen, start, unroll_group=8))
+    np.testing.assert_array_equal(rolled, unrolled)
+
+
 def test_fps_pallas_respects_penalty(rng):
     pos = jnp.asarray(rng.standard_normal((1, 100, 3)).astype(np.float32) )
     pos = pos.at[:, 60:].set(999.0)

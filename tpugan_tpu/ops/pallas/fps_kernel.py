@@ -28,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e10
 
 
-def _fps_kernel(start_ref, pos_ref, penalty_ref, idx_ref, mind_ref, *, m):
+def _fps_kernel(start_ref, pos_ref, penalty_ref, idx_ref, mind_ref, *, m,
+                unroll_group=1):
     # start_ref: [B] SMEM (scalar prefetch); pos_ref: [1, 3, N] VMEM;
     # penalty_ref: [1, 1, N]; idx_ref (out): [1, 1, m]; mind_ref: [1, N]
     x = pos_ref[0, 0:1, :]                         # [1, N]
@@ -59,14 +60,34 @@ def _fps_kernel(start_ref, pos_ref, penalty_ref, idx_ref, mind_ref, *, m):
 
     mind_ref[:] = dist_to(start)
 
-    def body(i, _):
+    def one_round(i):
         d = mind_ref[:]
         nxt = jnp.argmax(d, axis=1)[0].astype(jnp.int32)
         record(i, nxt)
         mind_ref[:] = jnp.minimum(d, dist_to(nxt))
-        return 0
 
-    jax.lax.fori_loop(1, m, body, 0)
+    if unroll_group <= 1:
+        def body(i, _):
+            one_round(i)
+            return 0
+
+        jax.lax.fori_loop(1, m, body, 0)
+    else:
+        # The per-round VPU work on [1, N] is tiny; a rolled fori_loop is
+        # dominated by ~5 us/iteration of scalar-core loop overhead
+        # (measured 2.7 us/round at npoint=1024 — BENCH_NOTES round 3).
+        # Amortize it by statically unrolling ``unroll_group`` dependent
+        # rounds per loop iteration. Overshoot rounds past m are harmless:
+        # ``record`` masks on the selection slot, so nothing is written.
+        groups = -(-(m - 1) // unroll_group)
+
+        def body(g, _):
+            base = 1 + g * unroll_group
+            for u in range(unroll_group):
+                one_round(base + u)
+            return 0
+
+        jax.lax.fori_loop(0, groups, body, 0)
 
 
 def fps_pallas(
@@ -74,16 +95,25 @@ def fps_pallas(
     m: int,
     valid_penalty: jnp.ndarray,  # [B, N] f32: 0 valid / -BIG invalid
     start: jnp.ndarray,          # [B] int32
+    unroll_group: int | None = None,
 ) -> jnp.ndarray:
     """FPS indices [B, m] int32; round i maximizes min distance to rounds
-    < i, starting from ``start`` (pointnet2 uses 0)."""
+    < i, starting from ``start`` (pointnet2 uses 0).
+
+    ``unroll_group=None`` picks 8 on TPU (amortizes scalar-core loop
+    overhead) and 1 in interpret mode (keeps interpretation fast); tests
+    override it to prove the unrolled schedule is round-for-round
+    identical."""
     b, n, _ = pos.shape
     # Index selection is non-differentiable; cut tangents so pallas_call
     # never sees a JVP trace (callers gather with the raw pos for grads).
     pos = jax.lax.stop_gradient(pos)
     valid_penalty = jax.lax.stop_gradient(valid_penalty)
     pos_t = jnp.swapaxes(pos, 1, 2)                # [B, 3, N]
-    kernel = functools.partial(_fps_kernel, m=m)
+    interpret = jax.default_backend() != "tpu"
+    if unroll_group is None:
+        unroll_group = 1 if interpret else 8
+    kernel = functools.partial(_fps_kernel, m=m, unroll_group=unroll_group)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -101,6 +131,6 @@ def fps_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
     )(start.astype(jnp.int32), pos_t, valid_penalty[:, None, :])
     return idx[:, 0, :]
