@@ -21,9 +21,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the GAN-step graphs take minutes to compile
-# on XLA:CPU; cache them across test runs/rounds.
-os.makedirs("/tmp/tpugan_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpugan_jax_cache")
+# on XLA:CPU; cache them across test runs/rounds. Lives under ~/.cache so a
+# /tmp wipe cannot push the cold suite past a 10-minute CI budget.
+_cache_dir = os.path.expanduser("~/.cache/tpugan_jax_cpu")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.devices()[0].platform == "cpu", (

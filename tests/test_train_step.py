@@ -178,3 +178,55 @@ def test_async_checkpoint(rng, tmp_path, action_setup):
     a = jax.tree_util.tree_leaves(jax.device_get(state.sr.params))
     b = jax.tree_util.tree_leaves(restored.sr.params)
     assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_device_sample_lowres_matches_host_fps(rng):
+    # the device path (fps_pallas on the center frame, shared indices
+    # across frames) must reproduce the loader's greedy FPS exactly when
+    # given the same start index (data/sampling.py:farthest_point_sampling)
+    from tpugan_tpu.data.sampling import farthest_point_sampling
+    from tpugan_tpu.train.step import device_sample_lowres
+
+    f, b, m, n_low = 3, 2, 96, 12
+    hp = rng.standard_normal((f, b, m, 3)).astype(np.float32)
+    hv = rng.standard_normal((f, b, m, 3)).astype(np.float32)
+    start = np.array([5, 40], np.int32)
+    lp, lv = device_sample_lowres(
+        jnp.asarray(hp), jnp.asarray(hv), n_low, 0.0,
+        jax.random.PRNGKey(0), start=jnp.asarray(start),
+    )
+    for i in range(b):
+        idx, _ = farthest_point_sampling(hp[1, i], n_low,
+                                         initial_idx=int(start[i]))
+        np.testing.assert_allclose(np.asarray(lp)[:, i], hp[:, i][:, idx])
+        np.testing.assert_allclose(np.asarray(lv)[:, i], hv[:, i][:, idx])
+
+
+def test_fluid_step_device_sampling(rng):
+    # a lowres-free batch + device_sampling cfg runs end to end and trains
+    cfg = replace(TINY_FLUID, device_sampling=True)
+    models, txs, state = init_fluid_state(cfg, jax.random.PRNGKey(0))
+    step = make_fluid_gan_step(models, txs, cfg)
+    batch = _fluid_batch(rng, cfg)
+    del batch["lowres_pos"], batch["lowres_vel"]
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert set(metrics) == FLUID_KEYS
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+
+
+def test_fluid_dataset_emit_lowres_false(tmp_path, rng):
+    from tpugan_tpu.data.synthetic import make_synthetic_fluid_dataset
+
+    root = str(tmp_path / "fluid")
+    make_synthetic_fluid_dataset(root, case_num=1, case_steps=4,
+                                 num_particles=1500, seed=0)
+    from tpugan_tpu.data import SiamFluidDataset, fluid_batch_iterator
+
+    ds = SiamFluidDataset(root, case_num=1, case_steps=4, sample_num=1024,
+                          fps_ratio=0.125, emit_lowres=False)
+    item = ds[0]
+    assert "lowres_pos" not in item and "lowres_vel" not in item
+    batch = next(fluid_batch_iterator(ds, batch_size=2, seed=0))
+    assert set(batch) == {"highres_pos", "highres_vel", "h"}
+    assert batch["highres_pos"].shape == (3, 2, 1024, 3)

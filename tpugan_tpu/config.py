@@ -51,10 +51,24 @@ class FluidTrainConfig:
     ml_gate: float = 0.1         # adversarial branch gate on masking loss
     # toggles (reference train_tempo.py:92-101)
     use_vel: bool = False
+    # velocity-transfer interpolation: "dense" sums every in-radius GT
+    # neighbor (two MXU matmuls per tile, fastest); "capped" reproduces the
+    # reference's 32-nearest-within-radius FRNN path exactly
+    # (gcn_lib/interpolation.py:103-123). At fluid density the two GENUINELY
+    # differ (queries have ~100+ in-radius neighbors); see PARITY.md.
+    interp: str = "dense"
     freeze_D: bool = False
     dump_visualization: bool = False
     log_dir: str = "./"
     seed: int = 1
+    # TPU-native: compute the lowres inputs (FPS downsample + jitter) on
+    # device inside the jitted step instead of in the host loader. The host
+    # has one core here, so the O(n*N) FPS (~21 ms/item) throttles the input
+    # pipeline, while fps_pallas does the same exact greedy selection in
+    # ~3 ms for the whole batch; it also removes the lowres H2D transfer.
+    # Semantically identical to the host path up to the RNG stream (same
+    # greedy FPS from a uniform random start, same N(0, jitter) noise).
+    device_sampling: bool = False
     # parallelism (new, no reference analog — SURVEY.md §2.4)
     data_parallel: bool = False
     mesh_shape: Optional[tuple] = None

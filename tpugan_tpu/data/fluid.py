@@ -42,7 +42,12 @@ class SiamFluidDataset:
         jitter: float = 0.003,
         cache_size: int = 2000,
         seed: int = 0,
+        emit_lowres: bool = True,
     ):
+        # emit_lowres=False skips the host FPS + jitter and omits the
+        # lowres_* keys; the jitted train step then computes them on device
+        # (train/step.py:device_sample_lowres — the TPU-native path for the
+        # single-core host this runs on).
         self.dataset_path = dataset_path
         self.case_num = case_num
         self.case_steps = case_steps
@@ -56,6 +61,7 @@ class SiamFluidDataset:
         self.rng = np.random.default_rng(seed)
         self.py_rng = random.Random(seed)
         self._cache_lock = threading.Lock()
+        self.emit_lowres = emit_lowres
 
     def __len__(self) -> int:
         return self.case_num * (self.case_steps - 2)
@@ -98,24 +104,25 @@ class SiamFluidDataset:
 
         _, patch_idx, fps_idx = sample_patch_with_fps(
             pos[1], sample_num=self.sample_num, fps_ratio=self.fps_ratio,
-            rng=rng,
+            rng=rng, fps=self.emit_lowres,
         )
 
         highres_pos = np.stack([p[patch_idx] for p in pos])        # [3, m, 3]
         highres_vel = np.stack([v[patch_idx] for v in vel])
-        lowres_pos = highres_pos[:, fps_idx]                        # [3, n, 3]
-        lowres_vel = highres_vel[:, fps_idx]
-        lowres_pos = lowres_pos + rng.standard_normal(
-            lowres_pos.shape
-        ).astype(np.float32) * self.jitter
-
-        return {
+        item = {
             "highres_pos": highres_pos,
             "highres_vel": highres_vel,
-            "lowres_pos": lowres_pos.astype(np.float32),
-            "lowres_vel": lowres_vel,
             "h": np.float32(h),
         }
+        if self.emit_lowres:
+            lowres_pos = highres_pos[:, fps_idx]                    # [3, n, 3]
+            lowres_vel = highres_vel[:, fps_idx]
+            lowres_pos = lowres_pos + rng.standard_normal(
+                lowres_pos.shape
+            ).astype(np.float32) * self.jitter
+            item["lowres_pos"] = lowres_pos.astype(np.float32)
+            item["lowres_vel"] = lowres_vel
+        return item
 
 
 def fluid_batch_iterator(
@@ -146,11 +153,9 @@ def fluid_batch_iterator(
                 zip(order[start:start + batch_size], child_seeds),
             ))
             yield {
-                "highres_pos": np.stack([x["highres_pos"] for x in items], axis=1),
-                "highres_vel": np.stack([x["highres_vel"] for x in items], axis=1),
-                "lowres_pos": np.stack([x["lowres_pos"] for x in items], axis=1),
-                "lowres_vel": np.stack([x["lowres_vel"] for x in items], axis=1),
-                "h": np.stack([x["h"] for x in items]),
+                k: np.stack([x[k] for x in items],
+                            axis=0 if k == "h" else 1)
+                for k in items[0]
             }
         if not drop_last and n % batch_size:
             pass  # fixed-shape training: partial batches are dropped

@@ -71,10 +71,12 @@ def sample_patch_with_fps(
     fps_ratio: float = 0.125,
     rng: Optional[np.random.Generator] = None,
     tree: Optional[cKDTree] = None,
+    fps: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]:
     """KDTree neighborhood patch around a random seed + FPS downsample
     (reference train_utils.py:98-139). Returns (dict, patch_idx, fps_idx)
-    with dict = {patch_pos, ds_pos}.
+    with dict = {patch_pos, ds_pos}. ``fps=False`` skips the downsample
+    (fps_idx is None) for callers that FPS on device instead.
     """
     rng = rng or np.random.default_rng()
     total = input_pos.shape[0]
@@ -95,6 +97,8 @@ def sample_patch_with_fps(
         _, patch_idx = tree.query(input_pos[seed], patch_num)
     patch_pos = input_pos[patch_idx]
 
+    if not fps:
+        return {"patch_pos": patch_pos, "ds_pos": None}, patch_idx, None
     fps_idx, _ = farthest_point_sampling(
         patch_pos, int(fps_ratio * patch_num), rng=rng
     )

@@ -101,22 +101,33 @@ def interpolate_vel_lst(
     gt_pos_frames: jnp.ndarray,     # [F, B, N, 3]
     gt_vel_frames: jnp.ndarray,     # [F, B, N, 3]
     cutoff: float,
+    mode: str = "dense",
 ):
     """Transfer ground-truth advection (vel * DT) onto predicted particles
     per frame by SPH-kernel interpolation (reference ``interpolate_vel_lst``,
     train_step_final.py:51-66). Returns (gt_adv, pred_adv), both
     stop-gradiented like the reference's no_grad block.
 
-    Uses the dense all-in-radius form (ops/interpolate.py
-    ``cubic_interpolation_dense``): the reference path's FRNN K=32 cap is
-    an API artifact its own density oracle does not share, and the dense
-    Pallas kernel removes the kNN + tiny-row gathers that dominated the
-    measured train step (~76 ms of 170 ms; BENCH_NOTES.md round 2)."""
+    ``mode="dense"`` (default) uses the all-in-radius form
+    (ops/interpolate.py ``cubic_interpolation_dense``): the reference
+    path's FRNN K=32 cap is an API artifact its own density oracle does
+    not share, and the dense Pallas kernel removes the kNN + tiny-row
+    gathers that dominated the measured train step (~76 ms of 170 ms;
+    BENCH_NOTES.md round 2). NOTE: at the operating cutoff (1.6*R ~ 6.4
+    fine spacings) queries routinely have ~100+ in-radius GT neighbors, so
+    this is a REAL behavioral deviation from the reference's capped
+    interpolation, not a rare-corner one — PARITY.md carries the measured
+    A/B evidence. ``mode="capped"`` runs the reference-exact
+    32-nearest-within-radius path (``cubic_interpolation``)."""
     f, b = pred_pos_frames.shape[:2]
     gt_adv = gt_vel_frames * DT
     flat = lambda a: a.reshape((f * b,) + a.shape[2:])
+    interp = (
+        cubic_interpolation_dense if mode == "dense"
+        else lambda q, fld, p, c: cubic_interpolation(q, fld, p, c, k=32)
+    )
     pred_adv = jax.lax.stop_gradient(
-        cubic_interpolation_dense(
+        interp(
             flat(jax.lax.stop_gradient(pred_pos_frames)), flat(gt_adv),
             flat(gt_pos_frames), cutoff,
         )
@@ -126,6 +137,41 @@ def interpolate_vel_lst(
 
 # ---------------------------------------------------------------------------
 # model builders
+
+def device_sample_lowres(
+    highres_pos: jnp.ndarray,   # [F, B, M, 3]
+    highres_vel: jnp.ndarray,   # [F, B, M, 3]
+    n_low: int,
+    jitter: float,
+    key: jax.Array,
+    start: jnp.ndarray | None = None,  # [B] int32 (tests); None = random
+):
+    """Device-side equivalent of the loader's FPS downsample + jitter
+    (data/sampling.py:sample_patch_with_fps + SiamFluidDataset jitter;
+    reference tempo_dataset.py:78-96): greedy farthest-point selection on
+    the CENTER frame from a uniform random start, the same indices applied
+    to every frame (particle identity is shared), then N(0, jitter) noise
+    on the lowres positions. Runs as ~3 ms of fps_pallas + gathers inside
+    the jitted step, replacing ~21 ms/item of single-core host FPS."""
+    from tpugan_tpu.ops.pallas.fps_kernel import fps_pallas
+
+    k_start, k_jit = jax.random.split(key)
+    center = highres_pos[1]                               # [B, M, 3]
+    b, m = center.shape[:2]
+    if start is None:
+        start = jax.random.randint(k_start, (b,), 0, m, dtype=jnp.int32)
+    idx = fps_pallas(center, n_low, jnp.zeros((b, m), jnp.float32), start)
+    take = lambda a: jnp.take_along_axis(
+        a, idx[None, :, :, None], axis=2
+    )                                                     # [F, B, n, 3]
+    lowres_pos = take(highres_pos)
+    lowres_vel = take(highres_vel)
+    if jitter:
+        lowres_pos = lowres_pos + jitter * jax.random.normal(
+            k_jit, lowres_pos.shape
+        )
+    return lowres_pos, lowres_vel
+
 
 def build_fluid_models(cfg: FluidTrainConfig):
     sr = SRNet(
@@ -218,13 +264,19 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
 
     def step(state: GanTrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
         cur_iter = state.n_iter + 1
-        keys = jax.random.split(key, 16)
+        keys = jax.random.split(key, 17)
         valid_lbl, invalid_lbl = lsgan_labels(keys[0])
 
-        lowres_pos = batch["lowres_pos"]      # [3, B, n, 3]
-        lowres_vel = batch["lowres_vel"]
         highres_pos = batch["highres_pos"]    # [3, B, m, 3]
         highres_vel = batch["highres_vel"]
+        if cfg.device_sampling and "lowres_pos" not in batch:
+            lowres_pos, lowres_vel = device_sample_lowres(
+                highres_pos, highres_vel, cfg.lowres_size, cfg.jitter,
+                keys[16],
+            )
+        else:
+            lowres_pos = batch["lowres_pos"]  # [3, B, n, 3]
+            lowres_vel = batch["lowres_vel"]
 
         if cfg.use_vel and cfg.in_node_feats == 6:
             feats = jnp.concatenate([lowres_pos, lowres_vel * DT], axis=-1)
@@ -277,6 +329,7 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
                     gt_adv, pred_adv = interpolate_vel_lst(
                         pred_seq, highres_pos, highres_vel,
                         1.6 * cfg.R / furthest_distance,
+                        mode=getattr(cfg, "interp", "dense"),
                     )
                     feat_lst = [pred_adv[i] for i in range(3)]
                 else:
