@@ -25,6 +25,15 @@ convs; PU-GCN-family implementations report 20-60 fps at 4x/10k points on
 A100-class GPUs). Treat the ratio as indicative until a measured reference
 number exists.
 
+The timed forward runs the bf16 inference mode (SRNet(compute_dtype=
+bfloat16): inner activations bf16, f32 params, offset/mask heads and
+position expansion promoted back to f32 — the deployment configuration;
+the forward is HBM-bound so this is ~1.3x over f32). A quality gate runs
+first: the bf16 predictions must match the exact-f32 forward to bf16
+resolution (per-point normalized Chamfer < 5e-3) or the bench falls back
+to timing f32. Trained-checkpoint eval parity is recorded in
+BENCH_NOTES.md round 3.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -86,14 +95,35 @@ def main() -> None:
 
     from tpugan_tpu.models import SRNet
 
-    model = SRNet(in_feats=3, node_emb_dim=128, upsample_ratio=UPSAMPLE_RATIO)
+    f32_model = SRNet(in_feats=3, node_emb_dim=128,
+                      upsample_ratio=UPSAMPLE_RATIO)
     rng = np.random.default_rng(0)
     pos = jnp.asarray(
         rng.standard_normal((1, N_POINTS, 3)).astype(np.float32) * 0.3
     )
-    variables = jax.jit(lambda k, p: model.init(k, p, p, False))(
+    variables = jax.jit(lambda k, p: f32_model.init(k, p, p, False))(
         jax.random.PRNGKey(0), pos
     )
+
+    # quality gate: bf16-mode predictions must track the exact f32 forward
+    # to bf16 resolution on the benchmark cloud, else time f32
+    model = SRNet(in_feats=3, node_emb_dim=128,
+                  upsample_ratio=UPSAMPLE_RATIO,
+                  compute_dtype=jnp.bfloat16)
+    try:
+        from tpugan_tpu.ops.metrics import chamfer
+
+        fwd = lambda m: jax.jit(
+            lambda v, p: m.apply(v, p, p, False)[0]
+        )(variables, pos)
+        exp_f32, exp_bf16 = fwd(f32_model), fwd(model)
+        cd = float(jnp.mean(chamfer(exp_f32, exp_bf16)))
+        scale = float(jnp.mean(jnp.sum(pos ** 2, -1)))
+        if cd / (exp_f32.shape[1] * scale) >= 5e-3:
+            raise RuntimeError(f"bf16 quality gate failed: {cd}")
+    except Exception as e:
+        print(f"# bf16 mode unavailable ({e}); timing f32")
+        model = f32_model
 
     # chained step: the (slightly contracted) first N_POINTS output points
     # become the next frame's input, forcing serial execution

@@ -35,7 +35,10 @@ def bench_rollout(num_frames=800, particles=10240):
     from tpugan_tpu.eval.rollout import rollout_sequence
     from tpugan_tpu.models import SRNet
 
-    model = SRNet(in_feats=3, node_emb_dim=128, upsample_ratio=8)
+    # deployment configuration: bf16 inner activations (bench.py's gated
+    # headline mode), f32 params/outputs
+    model = SRNet(in_feats=3, node_emb_dim=128, upsample_ratio=8,
+                  compute_dtype=jnp.bfloat16)
     frames = list(synthetic_fluid_sequence(
         seed=3, num_particles=particles, num_frames=num_frames))
     pos0 = jnp.asarray(frames[0][0], jnp.float32)[None]

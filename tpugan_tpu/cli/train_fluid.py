@@ -183,6 +183,7 @@ def main():
     writer = MetricWriter(cfg.log_dir)
     timer = StepTimer()
     n_iter = int(np.asarray(state.n_iter))
+    start_iter = n_iter
     step_key = jax.random.PRNGKey(cfg.seed + 1)
     start = time.time()
     ckpt_future = None
@@ -210,7 +211,7 @@ def main():
 
         if n_iter % 50 == 0:
             host = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            rate = n_iter / (time.time() - start)
+            rate = (n_iter - start_iter) / (time.time() - start)
             print(
                 f"iter {n_iter}/{cfg.iters} ({rate:.2f} it/s, "
                 f"eff {timer.compute_efficiency:.2f}): "

@@ -31,13 +31,15 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
+    # the .so is a build artifact (not tracked in git); make is a no-op
+    # when it is already newer than the source
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        if not os.path.exists(_SO_PATH):
             return None
     try:
         lib = ctypes.CDLL(_SO_PATH)

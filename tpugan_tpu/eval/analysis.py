@@ -39,23 +39,29 @@ def _joint_normalize(a: jnp.ndarray, b: jnp.ndarray):
 
 def _assignment_emd(
     p: jnp.ndarray, t: jnp.ndarray, eps: float, iters: int
-) -> jnp.ndarray:
-    """Mean per-point euclidean distance under the auction assignment; warns
-    when the iteration cap left bidders on the nearest-target fallback (the
-    reported EMD is then biased low — raise ``iters``)."""
+):
+    """Mean per-point euclidean distance under the auction assignment.
+
+    Returns (emd, n_dup) as DEVICE scalars — no host sync here: callers
+    fetch both together with their other metrics and call
+    ``_warn_duplicates`` afterwards, so the duplicate-assignment quality
+    gate costs no extra device->host round-trip inside eval loops."""
     assign = auction_assignment(p, t, eps=eps, iters=iters)
     counts = jax.vmap(lambda a: jnp.bincount(a, length=t.shape[1]))(assign)
-    n_dup = int(jnp.sum(jnp.maximum(counts - 1, 0)))
+    n_dup = jnp.sum(jnp.maximum(counts - 1, 0))
+    matched = jnp.take_along_axis(t, assign[..., None], axis=1)
+    return jnp.mean(jnp.linalg.norm(p - matched, axis=-1)), n_dup
+
+
+def _warn_duplicates(n_dup: int, total: int, iters: int) -> None:
     if n_dup > 0:
         import warnings
 
         warnings.warn(
             f"auction EMD hit the {iters}-iteration cap with {n_dup} "
-            f"duplicate assignments (of {assign.size}); value is biased low",
+            f"duplicate assignments (of {total}); value is biased low",
             stacklevel=3,
         )
-    matched = jnp.take_along_axis(t, assign[..., None], axis=1)
-    return jnp.mean(jnp.linalg.norm(p - matched, axis=-1))
 
 
 def position_metrics(
@@ -87,8 +93,10 @@ def position_metrics(
     cd = jnp.mean(chamfer(pos_pred, pos_gt, pred_valid, gt_valid)) / n_gt
     p, t, _ = _joint_normalize(pos_pred[:, :n_pred], pos_gt[:, :n_gt])
     n = min(n_pred, n_gt)
-    emd = _assignment_emd(p[:, :n], t[:, :n], emd_eps, emd_iters)
+    emd, n_dup = _assignment_emd(p[:, :n], t[:, :n], emd_eps, emd_iters)
     mmd = jnp.mean(gaussian_mmd(p, t, blur=0.01))
+    cd, emd, mmd, n_dup = jax.device_get((cd, emd, mmd, n_dup))
+    _warn_duplicates(int(n_dup), p.shape[0] * n, emd_iters)
     return float(cd), float(emd), float(mmd)
 
 
@@ -114,7 +122,11 @@ def action_position_metrics(
     if pos_pred.ndim == 2:
         pos_pred, pos_gt = pos_pred[None], pos_gt[None]
     cd = jnp.mean(chamfer(pos_pred, pos_gt)) / 2048.0
-    emd = _assignment_emd(pos_pred / 2.0, pos_gt / 2.0, emd_eps, emd_iters) * 2.0
+    emd, n_dup = _assignment_emd(pos_pred / 2.0, pos_gt / 2.0, emd_eps,
+                                 emd_iters)
+    cd, emd, n_dup = jax.device_get((cd, emd * 2.0, n_dup))
+    _warn_duplicates(int(n_dup), pos_pred.shape[0] * pos_pred.shape[1],
+                     emd_iters)
     return float(cd), float(emd)
 
 

@@ -88,6 +88,14 @@ def rollout_sequence(
         if mask_state is None:
             mask_state = RolloutMaskState.create(1, pos_b.shape[1], history)
         padded, valid, mask_state = step(variables, mask_state, pos_b, vel_b)
+        # start the D2H copies immediately so they overlap later frames'
+        # compute; the blocking np.asarray in drain() then finds the bytes
+        # already on host instead of serializing a fetch per frame
+        for arr in (padded, valid):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
         pending.append((padded, valid))
         drain(max_pending)
     drain(0)
