@@ -230,3 +230,16 @@ def test_fluid_dataset_emit_lowres_false(tmp_path, rng):
     batch = next(fluid_batch_iterator(ds, batch_size=2, seed=0))
     assert set(batch) == {"highres_pos", "highres_vel", "h"}
     assert batch["highres_pos"].shape == (3, 2, 1024, 3)
+
+
+def test_action_step_device_sampling(rng):
+    # lowres-free batch + per-frame device FPS runs end to end
+    cfg = replace(TINY_ACTION, device_sampling=True)
+    models, txs, state = init_action_state(cfg, jax.random.PRNGKey(0))
+    step = make_action_gan_step(models, txs, cfg)
+    m = cfg.num_points
+    batch = {"highres_pos": jnp.asarray(
+        rng.standard_normal((3, 2, m, 3)).astype(np.float32) * 0.3)}
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for v in metrics.values():
+        assert np.isfinite(float(v))

@@ -32,6 +32,9 @@ def get_arguments(parser: argparse.ArgumentParser):
     add("--w", type=float, default=2.0)
     add("--freeze_D", action="store_true")
     add("--dump_visualization", action="store_true")
+    add("--device_sampling", action="store_true",
+        help="per-frame FPS downsample on device inside the jitted step "
+             "(fps_pallas) instead of in the host loader")
     add("--synthetic", action="store_true")
     add("--data_parallel", action="store_true")
     add("--profile", action="store_true",
@@ -81,6 +84,7 @@ def main():
         lr=opt.lr, iters=opt.iters, ckpt_every=opt.ckpt_every,
         node_embedding=opt.node_embedding, R=opt.R, data_dir=data_dir,
         batch_size=opt.batch_size, num_points=opt.num_points, w=opt.w,
+        device_sampling=opt.device_sampling,
         freeze_D=opt.freeze_D, dump_visualization=opt.dump_visualization,
         log_dir=opt.log_dir, seed=opt.seed, data_parallel=opt.data_parallel,
     )
@@ -89,6 +93,7 @@ def main():
     dataset = MSRAction3DDataset(
         cfg.data_dir, frames_per_clip=cfg.frames_per_clip,
         num_points=cfg.num_points, fps_ratio=cfg.fps_ratio, seed=cfg.seed,
+        return_lowres=not cfg.device_sampling,
     )
     from tpugan_tpu.data.prefetch import prefetch_iterator
 
@@ -139,8 +144,7 @@ def main():
     while n_iter < cfg.iters:
         batch = next(batches)
         feed = {
-            "lowres_pos": batch["lowres_pos"],
-            "highres_pos": batch["highres_pos"],
+            k: batch[k] for k in ("lowres_pos", "highres_pos") if k in batch
         }
         if mesh is not None:
             feed = device_put_batch(feed, mesh)

@@ -97,6 +97,9 @@ class ActionTrainConfig:
     fps_ratio: float = 0.0625    # reference msr_dataset.py:93
     batch_size: int = 4
     w: float = 2.0
+    # device-side per-frame FPS downsample inside the jitted step (see
+    # FluidTrainConfig.device_sampling; action FPS is per-frame independent)
+    device_sampling: bool = False
     freeze_D: bool = False
     dump_visualization: bool = False
     log_dir: str = "./"

@@ -527,11 +527,26 @@ def make_action_gan_step(models, txs, cfg: ActionTrainConfig, mesh=None):
 
     def step(state: GanTrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
         cur_iter = state.n_iter + 1
-        keys = jax.random.split(key, 12)
+        keys = jax.random.split(key, 13)
         valid_lbl, invalid_lbl = lsgan_labels(keys[0])
 
-        lowres_pos = batch["lowres_pos"]      # [F, B, n, 3]
         highres_pos = batch["highres_pos"]    # [F, B, m, 3]
+        if getattr(cfg, "device_sampling", False) and "lowres_pos" not in batch:
+            # per-frame INDEPENDENT FPS (reference msr_dataset.py:93-96 —
+            # unlike the fluid path's shared center-frame indices), run as
+            # one fps_pallas over the flattened [F*B] clip stack
+            from tpugan_tpu.ops.pallas.fps_kernel import fps_pallas
+
+            fb, m = f * highres_pos.shape[1], highres_pos.shape[2]
+            flat = highres_pos.reshape(fb, m, 3)
+            start = jax.random.randint(keys[12], (fb,), 0, m, dtype=jnp.int32)
+            idx = fps_pallas(flat, cfg.lowres_size,
+                             jnp.zeros((fb, m), jnp.float32), start)
+            lowres_pos = jnp.take_along_axis(
+                flat, idx[:, :, None], axis=1
+            ).reshape(f, highres_pos.shape[1], cfg.lowres_size, 3)
+        else:
+            lowres_pos = batch["lowres_pos"]  # [F, B, n, 3]
 
         def g_forward(sr_params, frame_pos):
             out, _ = sr_model.apply(
