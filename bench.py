@@ -25,13 +25,16 @@ convs; PU-GCN-family implementations report 20-60 fps at 4x/10k points on
 A100-class GPUs). Treat the ratio as indicative until a measured reference
 number exists.
 
-The timed forward runs the bf16 inference mode (SRNet(compute_dtype=
-bfloat16): inner activations bf16, f32 params, offset/mask heads and
-position expansion promoted back to f32 — the deployment configuration;
-the forward is HBM-bound so this is ~1.3x over f32). A quality gate runs
-first: the bf16 predictions must match the exact-f32 forward to bf16
-resolution (per-point normalized Chamfer < 5e-3) or the bench falls back
-to timing f32. Trained-checkpoint eval parity is recorded in
+The timed forward runs the fastest serving mode that passes a quality
+gate against the exact f32 dynamic-graph forward (per-point normalized
+Chamfer < 5e-3 on the benchmark cloud), falling back down the chain:
+  1. bf16 + static shared graph — inner activations bfloat16 (f32 params,
+     offset/mask heads promoted back to f32) and ONE k=20 kNN graph built
+     from the input cloud reused by every EdgeConv/IDGCN layer instead of
+     the reference's per-layer feature-space rebuild;
+  2. bf16 with reference-exact per-layer dynamic graphs;
+  3. exact f32.
+Trained-checkpoint parity for the serving modes is recorded in
 BENCH_NOTES.md round 3.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -105,25 +108,40 @@ def main() -> None:
         jax.random.PRNGKey(0), pos
     )
 
-    # quality gate: bf16-mode predictions must track the exact f32 forward
-    # to bf16 resolution on the benchmark cloud, else time f32
-    model = SRNet(in_feats=3, node_emb_dim=128,
-                  upsample_ratio=UPSAMPLE_RATIO,
-                  compute_dtype=jnp.bfloat16)
-    try:
-        from tpugan_tpu.ops.metrics import chamfer
+    # quality gate: each candidate serving mode's predictions must track
+    # the exact f32 dynamic-graph forward to bf16 resolution on the
+    # benchmark cloud, else fall back down the chain:
+    #   bf16 + static shared graph -> bf16 dynamic -> exact f32
+    from tpugan_tpu.ops.metrics import chamfer
 
-        fwd = lambda m: jax.jit(
-            lambda v, p: m.apply(v, p, p, False)[0]
-        )(variables, pos)
-        exp_f32, exp_bf16 = fwd(f32_model), fwd(model)
-        cd = float(jnp.mean(chamfer(exp_f32, exp_bf16)))
-        scale = float(jnp.mean(jnp.sum(pos ** 2, -1)))
-        if cd / (exp_f32.shape[1] * scale) >= 5e-3:
-            raise RuntimeError(f"bf16 quality gate failed: {cd}")
-    except Exception as e:
-        print(f"# bf16 mode unavailable ({e}); timing f32")
-        model = f32_model
+    def fwd(m):
+        return jax.jit(lambda v, p: m.apply(v, p, p, False)[0])(
+            variables, pos
+        )
+
+    exp_f32 = fwd(f32_model)
+    scale = float(jnp.mean(jnp.sum(pos ** 2, -1)))
+
+    candidates = [
+        ("bf16+static-graph", SRNet(in_feats=3, node_emb_dim=128,
+                                    upsample_ratio=UPSAMPLE_RATIO,
+                                    compute_dtype=jnp.bfloat16,
+                                    graph_mode="static")),
+        ("bf16", SRNet(in_feats=3, node_emb_dim=128,
+                       upsample_ratio=UPSAMPLE_RATIO,
+                       compute_dtype=jnp.bfloat16)),
+    ]
+    model = f32_model
+    for name, cand in candidates:
+        try:
+            cd = float(jnp.mean(chamfer(exp_f32, fwd(cand))))
+            if cd / (exp_f32.shape[1] * scale) >= 5e-3:
+                raise RuntimeError(f"quality gate failed: {cd}")
+            model = cand
+            print(f"# timing serving mode: {name}")
+            break
+        except Exception as e:
+            print(f"# {name} mode unavailable ({e}); falling back")
 
     # chained step: the (slightly contracted) first N_POINTS output points
     # become the next frame's input, forcing serial execution

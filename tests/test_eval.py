@@ -10,7 +10,7 @@ from tpugan_tpu.eval.analysis import (
     get_particle_density,
     position_metrics,
 )
-from tpugan_tpu.eval.rollout import rollout_sequence
+from tpugan_tpu.eval.rollout import rollout_sequence, rollout_sequence_device
 from tpugan_tpu.models import SRNet
 
 
@@ -31,6 +31,33 @@ def test_rollout_sequence_shapes_and_mask_context(rng):
         assert n <= o.shape[0] <= n * r  # hard mask keeps >= copy-0 of each
         assert np.all(np.isfinite(o))
         assert np.all(np.abs(o) < 100)  # no sentinel leakage
+
+
+def test_rollout_sequence_device_matches_host(rng):
+    # The chunked device-resident lax.scan rollout must produce exactly the
+    # per-frame host loop's outputs (same mask-history ring semantics),
+    # including across a chunk boundary and tail padding.
+    n, r, t = 64, 4, 5
+    model = SRNet(in_feats=6, node_emb_dim=32, upsample_ratio=r)
+    pos0 = jnp.asarray(rng.standard_normal((1, n, 3)).astype(np.float32) * 0.3)
+    feat0 = jnp.concatenate([pos0, jnp.zeros_like(pos0)], axis=-1)
+    variables = model.init(jax.random.PRNGKey(0), feat0, pos0, False)
+
+    frames = [
+        (rng.standard_normal((n, 3)).astype(np.float32) * 0.3,
+         rng.standard_normal((n, 3)).astype(np.float32))
+        for _ in range(t)
+    ]
+    host = rollout_sequence(model, variables, frames, use_vel=True,
+                            history=3)
+    pos_seq = np.stack([p for p, _ in frames])
+    vel_seq = np.stack([v for _, v in frames])
+    dev = rollout_sequence_device(model, variables, pos_seq, vel_seq,
+                                  use_vel=True, history=3, chunk=2)
+    assert len(dev) == len(host) == t
+    for a, b in zip(host, dev):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
 def test_position_metrics_identical_clouds(rng):

@@ -238,3 +238,48 @@ def test_mask_head_alive_at_init_all_seeds(rng):
         v = model.init(jax.random.PRNGKey(seed), pos, pos, False)
         _, mask, _, _ = model.apply(v, pos, pos, False)
         assert float(jnp.mean(mask > 0)) > 0.3, f"dead mask head at seed {seed}"
+
+
+def test_srnet_static_graph_mode(rng):
+    # Static-graph serving mode: one k=20 kNN shared by every layer instead
+    # of the reference's per-layer feature-space rebuild. Same params apply;
+    # predictions stay close to the dynamic forward (a serving
+    # approximation, gated the same way in bench.py).
+    from tpugan_tpu.ops.metrics import chamfer
+
+    b, n, r = 1, 48, 4
+    pos = _cloud(rng, b, n)
+    dyn = SRNet(in_feats=3, node_emb_dim=32, upsample_ratio=r)
+    sta = SRNet(in_feats=3, node_emb_dim=32, upsample_ratio=r,
+                graph_mode="static")
+    v = dyn.init(jax.random.PRNGKey(0), pos, pos, False)
+    exp_a, mask_a, pad_a, val_a = dyn.apply(v, pos, pos, False)
+    exp_b, mask_b, pad_b, val_b = sta.apply(v, pos, pos, False)
+    assert exp_b.shape == exp_a.shape and val_b.shape == val_a.shape
+    assert np.all(np.isfinite(np.asarray(exp_b)))
+    cd = float(jnp.mean(chamfer(pad_a, pad_b, a_valid=val_a, b_valid=val_b)))
+    scale = float(jnp.mean(jnp.sum(pos**2, -1)))
+    assert cd / (exp_a.shape[1] * scale) < 5e-2
+
+    # velocity-feature config (in_feats > 3) builds the shared graph from
+    # pos, like the reference's pos-graph branch
+    feat6 = jnp.concatenate([pos, 0.1 * pos], axis=-1)
+    dyn6 = SRNet(in_feats=6, node_emb_dim=32, upsample_ratio=r)
+    sta6 = SRNet(in_feats=6, node_emb_dim=32, upsample_ratio=r,
+                 graph_mode="static")
+    v6 = dyn6.init(jax.random.PRNGKey(0), feat6, pos, False)
+    out6 = sta6.apply(v6, feat6, pos, False)
+    assert out6[0].shape == (b, n * r, 3)
+
+
+def test_nomask_srnet_static_graph_mode(rng):
+    b, n, r = 1, 40, 4
+    pos = _cloud(rng, b, n)
+    dyn = NoMaskSRNet(in_feats=3, node_emb_dim=32, upsample_ratio=r)
+    sta = NoMaskSRNet(in_feats=3, node_emb_dim=32, upsample_ratio=r,
+                      graph_mode="static")
+    v = dyn.init(jax.random.PRNGKey(0), pos, pos, False)
+    out_d, _ = dyn.apply(v, pos, pos, False)
+    out_s, _ = sta.apply(v, pos, pos, False)
+    assert out_s.shape == out_d.shape
+    assert np.all(np.isfinite(np.asarray(out_s)))

@@ -43,14 +43,31 @@ def main():
     p.add_argument("--export_bgeo", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_particles", type=int, default=4096)
+    p.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
+                   help="bf16 runs the generator's inner convs/gathers in "
+                        "bfloat16 (f32 params and outputs)")
+    p.add_argument("--graph_mode", choices=["dynamic", "static"],
+                   default="dynamic",
+                   help="static reuses ONE k=20 input-space kNN graph in "
+                        "every layer (serving approximation)")
+    p.add_argument("--host_pipeline", action="store_true",
+                   help="force the per-frame host loop; by default "
+                        "uniform-size sequences run the chunked "
+                        "device-resident lax.scan rollout")
+    p.add_argument("--chunk", type=int, default=100,
+                   help="frames per device chunk in the scan rollout")
     opt = p.parse_args()
 
+    import jax.numpy as jnp
+
     from tpugan_tpu.models import SRNet
-    from tpugan_tpu.eval.rollout import rollout_sequence
+    from tpugan_tpu.eval.rollout import rollout_sequence, rollout_sequence_device
 
     model = SRNet(
         in_feats=opt.in_node_feats, node_emb_dim=opt.node_embedding,
         upsample_ratio=opt.upsample_ratio,
+        compute_dtype=jnp.bfloat16 if opt.compute_dtype == "bf16" else None,
+        graph_mode=opt.graph_mode,
     )
 
     # ---- frames
@@ -104,20 +121,44 @@ def main():
 
     # ---- rollout
     os.makedirs(opt.out_dir, exist_ok=True)
+    uniform = len({p.shape[0] for p, _ in frames}) == 1
     t0 = time.time()
-    outputs = rollout_sequence(
-        model, variables, frames, use_vel=opt.use_vel
-    )
+    if uniform and not opt.host_pipeline:
+        pos_seq = np.stack([p for p, _ in frames])
+        vel_seq = (np.stack([v for _, v in frames])
+                   if frames[0][1] is not None else None)
+        outputs = rollout_sequence_device(
+            model, variables, pos_seq, vel_seq, use_vel=opt.use_vel,
+            chunk=min(opt.chunk, len(frames)),
+        )
+    else:
+        outputs = rollout_sequence(
+            model, variables, frames, use_vel=opt.use_vel
+        )
     used = time.time() - t0
     print(f"Used: {used:.2f}s for {len(frames)} frames "
           f"({len(frames)/used:.2f} frames/s)")
 
-    for i, pts in enumerate(outputs):
+    # write outputs off the timed path on a background thread (the save is
+    # disk-bound; the single-core host otherwise serializes it)
+    import threading
+
+    def _write(i, pts):
         np.save(os.path.join(opt.out_dir, f"pred_{i}.npy"), pts)
         if opt.export_bgeo:
             from tpugan_tpu.data.bgeo import write_bgeo
 
             write_bgeo(os.path.join(opt.out_dir, f"pred_{i}.bgeo"), pts)
+
+    threads = []
+    for i, pts in enumerate(outputs):
+        th = threading.Thread(target=_write, args=(i, pts))
+        th.start()
+        threads.append(th)
+        if len(threads) >= 8:
+            threads.pop(0).join()
+    for th in threads:
+        th.join()
     print(f"wrote {len(outputs)} frames to {opt.out_dir}")
 
 

@@ -50,6 +50,92 @@ def make_rollout_step(model: SRNet, use_vel: bool):
     return jax.jit(step)
 
 
+def make_rollout_scan(model: SRNet, use_vel: bool, chunk: int):
+    """Chunked device-resident rollout: one jitted lax.scan over ``chunk``
+    frames. Frames stay on device between steps; the only host traffic is
+    one H2D of the chunk's inputs and one D2H of its outputs."""
+
+    def scan_fn(variables, mask_state, pos_c, vel_c):
+        # pos_c/vel_c: [chunk, N, 3]
+        def body(carry, xs):
+            mask_state = carry
+            pos, vel = xs
+            centroid = jnp.mean(pos, axis=0, keepdims=True)
+            pos_n = (pos - centroid)[None]
+            if use_vel:
+                feature = jnp.concatenate([pos_n, vel[None] * DT], axis=-1)
+            else:
+                feature = pos_n
+            edge, mask = model.apply(variables, feature, pos_n, False,
+                                     method=model.heads)
+            mean_mask, mask_state = rollout_mask_update(mask_state, mask)
+            _, padded, valid = expand_pos_with_masking(
+                pos_n, edge, mean_mask, model.upsample_ratio, model.epsilon
+            )
+            out = jnp.where(valid[..., None], padded + centroid[None], padded)
+            return mask_state, (out[0], valid[0])
+
+        mask_state, (outs, valids) = jax.lax.scan(
+            body, mask_state, (pos_c, vel_c)
+        )
+        return mask_state, outs, valids
+
+    return jax.jit(scan_fn)
+
+
+def rollout_sequence_device(
+    model: SRNet,
+    variables,
+    pos_seq: np.ndarray,                    # [T, N, 3]
+    vel_seq: Optional[np.ndarray] = None,   # [T, N, 3]
+    use_vel: bool = False,
+    history: int = 25,
+    chunk: int = 100,
+) -> List[np.ndarray]:
+    """Device-resident rollout over a uniform-N frame sequence.
+
+    TPU-native redesign of the demo loop (train_fluid/demo.ipynb cell 3):
+    instead of one H2D + dispatch + D2H round trip per frame, frames are
+    shipped in chunks and a jitted lax.scan advances the 25-frame mask ring
+    across the whole chunk on device. Chunk c+1's scan is dispatched before
+    chunk c's outputs are fetched, so transfers overlap compute.
+    """
+    t, n, _ = pos_seq.shape
+    if vel_seq is None:
+        vel_seq = np.zeros_like(pos_seq)
+    pad = (-t) % chunk
+    if pad:
+        pos_seq = np.concatenate([pos_seq, pos_seq[-1:].repeat(pad, 0)], 0)
+        vel_seq = np.concatenate([vel_seq, vel_seq[-1:].repeat(pad, 0)], 0)
+    scan_fn = make_rollout_scan(model, use_vel, chunk)
+    mask_state = RolloutMaskState.create(1, n, history)
+
+    pending: List[Tuple] = []
+    outputs: List[np.ndarray] = []
+
+    def drain(keep: int):
+        while len(pending) > keep:
+            outs, valids = pending.pop(0)
+            outs, valids = np.asarray(outs), np.asarray(valids)
+            for f in range(outs.shape[0]):
+                outputs.append(outs[f][valids[f]])
+
+    for c in range(0, pos_seq.shape[0], chunk):
+        pos_c = jnp.asarray(pos_seq[c:c + chunk], jnp.float32)
+        vel_c = jnp.asarray(vel_seq[c:c + chunk], jnp.float32)
+        mask_state, outs, valids = scan_fn(variables, mask_state,
+                                           pos_c, vel_c)
+        for arr in (outs, valids):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        pending.append((outs, valids))
+        drain(1)
+    drain(0)
+    return outputs[:t]
+
+
 def rollout_sequence(
     model: SRNet,
     variables,

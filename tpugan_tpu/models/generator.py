@@ -38,14 +38,17 @@ class GCNFeatureExtractor(nn.Module):
         feature: jnp.ndarray,              # [B, N, C_in]
         pos: Optional[jnp.ndarray] = None,  # graph by pos when C_in > 3
         train: bool = True,
+        shared_idx: Optional[jnp.ndarray] = None,  # static-graph mode
     ) -> jnp.ndarray:
         x = EdgeConv(self.node_emb_dim, k=20, mlp_layer=True,
-                     dtype=self.dtype)(feature, pos=pos, train=train)
+                     dtype=self.dtype)(feature, pos=pos, train=train,
+                                       idx=shared_idx)
         outs = []
         for l in range(1, self.layer_num):
             out_dim = self.out_dim if l == self.layer_num - 1 else self.node_emb_dim
             x = IDGCNLayer(out_dim, residual=True,
-                           dtype=self.dtype)(x, train=train)
+                           dtype=self.dtype)(x, train=train,
+                                             shared_idx=shared_idx)
             outs.append(x)
         return jnp.concatenate(outs, axis=-1)
 
@@ -61,7 +64,8 @@ class UpsamplingModule(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, feature: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, feature: jnp.ndarray, train: bool = True,
+                 shared_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_dim = feature.shape[-1]
         out_dim = 3 * self.upsample_ratio
         for l in range(self.gcn_layer):
@@ -69,7 +73,8 @@ class UpsamplingModule(nn.Module):
             feature = ConvLayer(in_dim // 4, act=None,
                                 dtype=self.dtype)(feature, train=train)
             feature = EdgeConv(in_dim, k=k, aggregate="max", mlp_layer=True,
-                               dtype=self.dtype)(feature, train=train)
+                               dtype=self.dtype)(feature, train=train,
+                                                 idx=shared_idx)
         feature = SharedMLP([out_dim // 2, out_dim],
                             dtype=self.dtype)(feature, train=train)
         # final offset projection promotes back to f32 (f32 params,
@@ -88,7 +93,8 @@ class BinaryMaskingModule(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, feature: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, feature: jnp.ndarray, train: bool = True,
+                 shared_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_dim = feature.shape[-1]
         for l in range(self.gcn_layer):
             feature = ConvLayer(in_dim // 4, act=None,
@@ -96,11 +102,13 @@ class BinaryMaskingModule(nn.Module):
             if l != self.gcn_layer - 1:
                 feature = EdgeConv(in_dim, k=12, aggregate="max",
                                    mlp_layer=True,
-                                   dtype=self.dtype)(feature, train=train)
+                                   dtype=self.dtype)(feature, train=train,
+                                                     idx=shared_idx)
             else:
                 feature = EdgeConv(in_dim, k=8, aggregate="sum",
                                    mlp_layer=False,
-                                   dtype=self.dtype)(feature, train=train)
+                                   dtype=self.dtype)(feature, train=train,
+                                                     idx=shared_idx)
         feature = SharedMLP([in_dim // 2, in_dim // 4],
                             dtype=self.dtype)(feature, train=train)
         # Positive bias init keeps the ReLU head alive at initialization.
@@ -181,6 +189,14 @@ class SRNet(nn.Module):
     # params; the offset projection and mask head promote back to f32, and
     # position expansion is always f32). None = exact f32 everywhere.
     compute_dtype: Optional[Any] = None
+    # "dynamic": per-layer feature-space kNN rebuild, reference-exact
+    # (gcn_lib/pointnet/gcn.py:150-212 rebuilds the graph in every layer).
+    # "static": ONE k=20 kNN built from the input graph source (pos when
+    # in_feats > 3, else the raw input feature = normalized pos) is reused
+    # by every EdgeConv/IDGCN in the network — 7 kNN rounds become 1.
+    # Inference-only approximation; bench.py gates it on prediction parity
+    # against the dynamic forward, training always runs "dynamic".
+    graph_mode: str = "dynamic"
 
     def setup(self):
         self.feature_extractor = GCNFeatureExtractor(
@@ -193,6 +209,15 @@ class SRNet(nn.Module):
                                                  dtype=self.compute_dtype)
         self.filter_block = BinaryMaskingModule(dtype=self.compute_dtype)
 
+    def _shared_idx(self, feature, graph_pos):
+        if self.graph_mode != "static":
+            return None
+        from tpugan_tpu.ops.neighbors import graph_knn
+
+        src = graph_pos if graph_pos is not None else feature
+        _, idx = graph_knn(src, k=20)
+        return idx
+
     def __call__(
         self,
         feature: jnp.ndarray,
@@ -200,9 +225,12 @@ class SRNet(nn.Module):
         train: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         graph_pos = pos if self.in_feats > 3 else None
-        encoding = self.feature_extractor(feature, pos=graph_pos, train=train)
-        edge = self.upsampling_block(encoding, train=train)
-        mask = self.filter_block(encoding, train=train)
+        shared_idx = self._shared_idx(feature, graph_pos)
+        encoding = self.feature_extractor(feature, pos=graph_pos, train=train,
+                                          shared_idx=shared_idx)
+        edge = self.upsampling_block(encoding, train=train,
+                                     shared_idx=shared_idx)
+        mask = self.filter_block(encoding, train=train, shared_idx=shared_idx)
         expanded, padded, valid = expand_pos_with_masking(
             pos, edge, mask, self.upsample_ratio, self.epsilon
         )
@@ -211,10 +239,13 @@ class SRNet(nn.Module):
     def heads(self, feature, pos, train: bool = False):
         """Raw (edge, mask) heads, used by the rollout path."""
         graph_pos = pos if self.in_feats > 3 else None
-        encoding = self.feature_extractor(feature, pos=graph_pos, train=train)
+        shared_idx = self._shared_idx(feature, graph_pos)
+        encoding = self.feature_extractor(feature, pos=graph_pos, train=train,
+                                          shared_idx=shared_idx)
         return (
-            self.upsampling_block(encoding, train=train),
-            self.filter_block(encoding, train=train),
+            self.upsampling_block(encoding, train=train,
+                                  shared_idx=shared_idx),
+            self.filter_block(encoding, train=train, shared_idx=shared_idx),
         )
 
 
@@ -261,6 +292,7 @@ class NoMaskSRNet(nn.Module):
     upsample_ratio: int = 8
     feature_extractor_depth: int = 3
     compute_dtype: Optional[Any] = None
+    graph_mode: str = "dynamic"   # see SRNet.graph_mode
 
     def setup(self):
         self.feature_extractor = GCNFeatureExtractor(
@@ -279,7 +311,14 @@ class NoMaskSRNet(nn.Module):
             feature = feature[None]
         if pos.ndim == 2:
             pos = pos[None]
-        encoding = self.feature_extractor(feature, train=train)
-        edge = self.upsampling_block(encoding, train=train)
+        shared_idx = None
+        if self.graph_mode == "static":
+            from tpugan_tpu.ops.neighbors import graph_knn
+
+            _, shared_idx = graph_knn(feature, k=20)
+        encoding = self.feature_extractor(feature, train=train,
+                                          shared_idx=shared_idx)
+        edge = self.upsampling_block(encoding, train=train,
+                                     shared_idx=shared_idx)
         out = expand_pos(pos, edge, self.upsample_ratio)
         return out, edge.reshape(out.shape[0], -1, 3)

@@ -123,7 +123,8 @@ class IDGCNLayer(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, feat: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, feat: jnp.ndarray, train: bool = True,
+                 shared_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = feat.shape[-1]
         btn = ConvLayer(c // 4, act=None, norm=self.norm,
                         spectral_norm=self.spectral_norm, dtype=self.dtype)
@@ -134,7 +135,11 @@ class IDGCNLayer(nn.Module):
         # 9-prefix and the dilated EdgeConv the ::2 stride of one shared
         # kNN(20) list — identical results, one kernel AND one neighbor
         # gather instead of three (the branches slice the gathered table).
-        _, idx20 = graph_knn(x, k=20)
+        # Static-graph inference mode passes the model-wide list instead.
+        if shared_idx is not None:
+            idx20 = shared_idx
+        else:
+            _, idx20 = graph_knn(x, k=20)
         nbr20 = group(x, idx20)                                 # [B, N, 20, C/4]
         local_max = jnp.max(nbr20[:, :, :9], axis=2)            # [B, N, C/4]
 
