@@ -166,3 +166,67 @@ def test_ball_query_pallas_respects_mask(rng):
     bias = jnp.where(jnp.arange(32)[None] < 20, 0.0, 2.0)
     idx = np.asarray(ball_query_pallas(q, c, 1.0, 8, bias))
     assert np.all(idx < 20)
+
+
+def test_edgeconv_fused_matches_reference(rng):
+    # Fused post-gather EdgeConv (affines + SharedMLP + aggregation in one
+    # kernel) vs the identical-math XLA formulation, values and gradients.
+    from tpugan_tpu.ops.pallas.edgeconv_kernel import (
+        _reference_impl,
+        edgeconv_fused,
+    )
+
+    b, n, k, c, h, o = 1, 32, 12, 16, 8, 24
+    nbr = jnp.asarray(rng.standard_normal((b, k, n, c)).astype(np.float32))
+    ctr = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    wn = jnp.asarray(rng.standard_normal((c, h)).astype(np.float32) * 0.2)
+    we = jnp.asarray(rng.standard_normal((c, h)).astype(np.float32) * 0.2)
+    w1 = jnp.asarray(rng.standard_normal((h, h)).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.standard_normal((h, o)).astype(np.float32) * 0.2)
+
+    out = edgeconv_fused(nbr, ctr, wn, we, w1, w2, aggregate="max")
+    ref = _reference_impl(nbr, ctr, wn, we, w1, w2, aggregate="max",
+                          cdt=jnp.float32)
+    assert out.shape == (b, n, o)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    g = jax.grad(lambda x: jnp.sum(
+        edgeconv_fused(x, ctr, wn, we, w1, w2, aggregate="max")))(nbr)
+    gr = jax.grad(lambda x: jnp.sum(
+        _reference_impl(x, ctr, wn, we, w1, w2, aggregate="max",
+                        cdt=jnp.float32)))(nbr)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_edgeconv_fused_no_mlp_sum(rng):
+    from tpugan_tpu.ops.pallas.edgeconv_kernel import (
+        _reference_impl,
+        edgeconv_fused,
+    )
+
+    b, n, k, c, h = 1, 16, 8, 8, 4
+    nbr = jnp.asarray(rng.standard_normal((b, k, n, c)).astype(np.float32))
+    ctr = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    wn = jnp.asarray(rng.standard_normal((c, h)).astype(np.float32) * 0.3)
+    we = jnp.asarray(rng.standard_normal((c, h)).astype(np.float32) * 0.3)
+    out = edgeconv_fused(nbr, ctr, wn, we, None, None, aggregate="sum")
+    ref = _reference_impl(nbr, ctr, wn, we, None, None, aggregate="sum",
+                          cdt=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_edgeconv_module_fused_matches_xla_path(rng):
+    # EdgeConv(train=False) auto-enables the fused kernel; its output must
+    # match the train-path XLA formulation with the same params.
+    from tpugan_tpu.nn.edgeconv import EdgeConv
+
+    feat = jnp.asarray(rng.standard_normal((1, 48, 16)).astype(np.float32))
+    m = EdgeConv(24, k=10)
+    v = m.init(jax.random.PRNGKey(0), feat, train=True)
+    out_xla = m.apply(v, feat, train=True)
+    out_fused = m.apply(v, feat, train=False)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-4)
