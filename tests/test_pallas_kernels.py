@@ -230,3 +230,42 @@ def test_edgeconv_module_fused_matches_xla_path(rng):
     out_fused = m.apply(v, feat, train=False)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
                                rtol=2e-4, atol=2e-4)
+
+def test_edgeconv_fused_pallas_backward(rng):
+    # The dedicated backward kernel (edgeconv_kernel._bwd_pallas) vs the
+    # XLA reference VJP: all six gradients, max (tie-splitting rule) and
+    # sum aggregation, mlp and no-mlp variants.
+    from tpugan_tpu.ops.pallas.edgeconv_kernel import (
+        _bwd_pallas,
+        _reference_impl,
+    )
+
+    for (b, n, k, c, h, o, agg, mlp) in [
+        (1, 32, 12, 16, 8, 24, "max", True),
+        (1, 32, 9, 8, 4, 4, "sum", False),
+    ]:
+        nbr = jnp.asarray(rng.standard_normal((b, k, n, c)).astype(np.float32))
+        ctr = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+        wn = jnp.asarray(rng.standard_normal((c, h)).astype(np.float32) * .3)
+        we = jnp.asarray(rng.standard_normal((c, h)).astype(np.float32) * .3)
+        w1 = (jnp.asarray(rng.standard_normal((h, h)).astype(np.float32) * .3)
+              if mlp else None)
+        w2 = (jnp.asarray(rng.standard_normal((h, o)).astype(np.float32) * .3)
+              if mlp else None)
+        g = jnp.asarray(rng.standard_normal(
+            (b, n, o if mlp else h)).astype(np.float32))
+
+        got = _bwd_pallas(nbr, ctr, wn, we, w1, w2, g,
+                          aggregate=agg, cdt=jnp.float32)
+        assert got is not None
+        ref_fn = lambda *a: _reference_impl(*a, aggregate=agg,
+                                            cdt=jnp.float32)
+        _, vjp = jax.vjp(ref_fn, nbr, ctr, wn, we, w1, w2)
+        want = vjp(g)
+        for i, (a, b_) in enumerate(zip(got, want)):
+            if a is None:
+                assert b_ is None or float(jnp.max(jnp.abs(b_))) == 0.0
+                continue
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=3e-5, atol=3e-5,
+                                       err_msg=f"agg={agg} arg{i}")

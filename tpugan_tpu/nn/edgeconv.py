@@ -9,6 +9,8 @@ the elementwise work into the surrounding matmuls.
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Optional
 
 import jax.numpy as jnp
@@ -18,11 +20,22 @@ from tpugan_tpu.nn.layers import ConvLayer, SharedMLP, leaky_relu_02
 from tpugan_tpu.ops.neighbors import gather, graph_knn, group
 
 
+# TPUGAN_FUSED_EDGECONV_TRAIN=1 also enables the kernel in TRAINING graphs
+# (it carries a real Pallas backward, edgeconv_kernel._bwd_pallas; forward
+# bit-exact vs XLA, backward equal to fp-reduction order). Default OFF: at
+# the fluid workload's train shapes (N=1152 input patches) the XLA grouped
+# path measured slightly faster (10.2 vs 11.2 ms G fwd+bwd) — the fused
+# win grows with N (serving N=10240: 6.93 -> 4.38 ms); opt in for
+# large-cloud training.
+_TRAIN_FUSED = os.environ.get("TPUGAN_FUSED_EDGECONV_TRAIN", "0") == "1"
+
+
 def _fused_enabled(fused: Optional[bool], train: bool, norm: str,
                    spectral_norm: bool) -> bool:
     """The fused post-gather kernel applies to the bias-free norm-free
-    configuration (the generator); None = auto (inference calls only)."""
-    on = fused if fused is not None else not train
+    configuration (the generator); None = auto (inference always; training
+    only with TPUGAN_FUSED_EDGECONV_TRAIN=1)."""
+    on = fused if fused is not None else ((not train) or _TRAIN_FUSED)
     return on and norm == "none" and not spectral_norm
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,6 +29,17 @@ def leaky_relu_02(x):
 def leaky_relu_001(x):
     # torch F.leaky_relu / nn.LeakyReLU() default slope
     return nn.leaky_relu(x, negative_slope=0.01)
+
+
+def act_slope(act: Callable) -> Optional[float]:
+    """Leaky-ReLU slope of a supported activation (0 = ReLU), else None."""
+    if act is nn.relu or act is jax.nn.relu:
+        return 0.0
+    if act is leaky_relu_001:
+        return 0.01
+    if act is leaky_relu_02:
+        return 0.2
+    return None
 
 
 def _norm_module(norm: str, train: bool):
@@ -62,11 +74,65 @@ class ConvLayer(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 fused_op: Optional[str] = None, bn_stats=None):
+        """Normal mode (fused_op=None) applies Dense -> norm -> act.
+
+        The two ``fused_op`` modes serve SharedMLP's fused pooled path
+        (ops/pallas/pooled_mlp_kernel.py). Both keep module creation, names
+        and state updates IDENTICAL to the normal path, so checkpoints and
+        the torch converter see the same tree:
+
+        - "weights": ``x`` only conveys (C_in, dtype). Probes the (spectral-
+          normalized) Dense with an identity matrix — the output IS the
+          differentiable effective kernel, and SpectralNorm's u/sigma power
+          iteration advances exactly once, as a real call would. Returns
+          (W_eff [C_in, F], dense_bias or None); the norm module is created
+          later by "bn_update".
+        - "bn_update": creates the BatchNorm with the normal flag wiring and
+          (at train) feeds it a 2-point probe stack([mu-s, mu+s]) whose
+          batch moments are exactly (mu, var = s^2) — the running-average
+          update matches a real call on data with those moments. Returns
+          the (post-call) stored running (mean, var) for eval affines.
+        """
         use_bias = self.use_bias
         if use_bias is None:
             use_bias = self.norm in ("batch", "ins")
+
+        if fused_op == "bn_update":
+            norm = _norm_module(self.norm, train)
+            if norm is None:
+                return None
+            if train:
+                mu, var = bn_stats
+                s = jnp.sqrt(jnp.maximum(var, 0.0))
+                probe = jnp.stack([mu - s, mu + s])[None]      # [1, 2, F]
+            else:
+                probe = jnp.zeros((1, 2, self.features), jnp.float32)
+            _ = norm(probe)                                     # update/create
+            stats = self.variables.get("batch_stats", {}).get(
+                "BatchNorm_0", None)
+            if stats is None:                                   # init trace
+                return (jnp.zeros((self.features,), jnp.float32),
+                        jnp.ones((self.features,), jnp.float32))
+            return stats["mean"], stats["var"]
+
         dense = nn.Dense(self.features, use_bias=use_bias, dtype=self.dtype)
+
+        if fused_op == "weights":
+            cin = x.shape[-1]
+            probe = jnp.eye(cin, dtype=x.dtype)
+            if use_bias:
+                probe = jnp.concatenate(
+                    [probe, jnp.zeros((1, cin), x.dtype)], axis=0)
+            if self.spectral_norm:
+                out = nn.SpectralNorm(dense)(probe, update_stats=train)
+            else:
+                out = dense(probe)
+            if use_bias:
+                return out[:cin] - out[cin:cin + 1], out[cin]
+            return out, None
+
         if self.spectral_norm:
             x = nn.SpectralNorm(dense)(x, update_stats=train)
         else:
@@ -96,8 +162,21 @@ class SharedMLP(nn.Module):
     use_bias: Optional[bool] = None
     dtype: Optional[Any] = None
 
+    def _fusable(self, x: jnp.ndarray) -> bool:
+        return (x.ndim == 4 and self.dtype is None
+                and self.norm in ("batch", "none")
+                and act_slope(self.act) is not None)
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 fused_pool: bool = False) -> jnp.ndarray:
+        """fused_pool=True: return act-stack + MAX over axis 2 as one fused
+        op ([B, M, ns, C] -> [B, M, C_out]); the per-layer grouped
+        intermediates never reach HBM (ops/pallas/pooled_mlp_kernel.py).
+        Falls back to the plain stack + jnp.max for unsupported configs —
+        the caller always gets the pooled result."""
+        if fused_pool and self._fusable(x):
+            return self._fused_pooled(x, train)
         for f in self.features:
             x = ConvLayer(
                 f,
@@ -107,7 +186,69 @@ class SharedMLP(nn.Module):
                 use_bias=self.use_bias,
                 dtype=self.dtype,
             )(x, train=train)
+        if fused_pool:
+            return jnp.max(x, axis=2)
         return x
+
+    def _fused_pooled(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from tpugan_tpu.ops.pallas.pooled_mlp_kernel import (
+            pooled_mlp_affine, pooled_mlp_bn_train)
+
+        slope = act_slope(self.act)
+        layers = [
+            ConvLayer(f, act=self.act, norm=self.norm,
+                      spectral_norm=self.spectral_norm,
+                      use_bias=self.use_bias, dtype=self.dtype)
+            for f in self.features
+        ]
+        ws, dbs = [], []
+        cin = x.shape[-1]
+        for f, layer in zip(self.features, layers):
+            w, db = layer(jnp.zeros((1, cin), x.dtype), train=train,
+                          fused_op="weights")
+            ws.append(w)
+            dbs.append(db)
+            cin = f
+
+        if self.norm == "none":
+            ones = [jnp.ones((f,), jnp.float32) for f in self.features]
+            bs = [db if db is not None else jnp.zeros((f,), jnp.float32)
+                  for db, f in zip(dbs, self.features)]
+            return pooled_mlp_affine(x, ws, ones, bs, slope)
+
+        # batch norm: read gamma/beta (init defaults before creation), run
+        # the multi-pass kernel, then let each real BatchNorm perform its
+        # running-average update from the computed batch moments. A dense
+        # bias under BN shifts only the stored running mean (the normalized
+        # output is bias-invariant), so it is folded into mu for the update.
+        params = self.variables.get("params", {})
+        gs, bts = [], []
+        for i, f in enumerate(self.features):
+            bn = params.get(f"ConvLayer_{i}", {}).get("BatchNorm_0", None)
+            if bn is None:
+                gs.append(jnp.ones((f,), jnp.float32))
+                bts.append(jnp.zeros((f,), jnp.float32))
+            else:
+                gs.append(bn["scale"])
+                bts.append(bn["bias"])
+
+        if train:
+            pooled, mus, vars_ = pooled_mlp_bn_train(x, ws, gs, bts, slope)
+            for layer, mu, var, db in zip(layers, mus, vars_, dbs):
+                mu_upd = mu if db is None else mu + db
+                layer(x, train=True, fused_op="bn_update",
+                      bn_stats=(jax.lax.stop_gradient(mu_upd),
+                                jax.lax.stop_gradient(var)))
+            return pooled
+
+        a_s, b_s = [], []
+        for layer, g, bt, db in zip(layers, gs, bts, dbs):
+            ra_mean, ra_var = layer(x, train=False, fused_op="bn_update")
+            a = g * jax.lax.rsqrt(jnp.maximum(ra_var, 0.0) + 1e-5)
+            b = bt - (ra_mean if db is None else ra_mean - db) * a
+            a_s.append(a)
+            b_s.append(b)
+        return pooled_mlp_affine(x, ws, a_s, b_s, slope)
 
 
 class MLP(nn.Module):

@@ -13,6 +13,7 @@ rejection loop. Dummies are likewise excluded as ball-query candidates.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -20,6 +21,11 @@ from flax import linen as nn
 
 from tpugan_tpu.nn.layers import SharedMLP
 from tpugan_tpu.ops.neighbors import fps, gather, group_all, query_and_group
+
+# Default for SetConv.fused=None; TPUGAN_FUSED_SETCONV=0 disables the fused
+# grouped-MLP path globally (A/B escape hatch — the two paths are equal to
+# the XLA formulation's own precision, pinned by test_pooled_mlp_fused.py).
+_FUSED_DEFAULT = os.environ.get("TPUGAN_FUSED_SETCONV", "1") != "0"
 
 
 class SetConv(nn.Module):
@@ -40,6 +46,13 @@ class SetConv(nn.Module):
     use_xyz: bool = True
     spectral_norm: bool = True
     act: Callable = nn.relu
+    # Fused grouped-MLP(+BN)+max-pool Pallas path (pooled_mlp_kernel.py):
+    # the [B, M, ns, C'] per-layer intermediates never reach HBM. Exact to
+    # the XLA path's own (bf16-matmul-pass) precision class. None = auto:
+    # inference calls only — the current backward is a recompute through
+    # the XLA formulation, so training would pay the fused forward ON TOP
+    # of the recompute (measured: no win). True forces it everywhere.
+    fused: Optional[bool] = None
 
     @classmethod
     def ssg(cls, mlp, npoint=None, radius=None, nsample=None, **kw):
@@ -78,12 +91,16 @@ class SetConv(nn.Module):
                 )                                   # [B, M, ns, 3+C]
             else:
                 grouped = group_all(xyz, features, use_xyz=self.use_xyz)
+            use_fused = (self.fused if self.fused is not None
+                         else (_FUSED_DEFAULT and not train))
             y = SharedMLP(
                 mlp_spec, act=self.act,
                 norm="batch" if self.bn else "none",
                 spectral_norm=self.spectral_norm,
                 use_bias=not self.bn,
-            )(grouped, train=train)
-            outs.append(jnp.max(y, axis=2))          # [B, M, C']
+            )(grouped, train=train, fused_pool=use_fused)
+            if not use_fused:
+                y = jnp.max(y, axis=2)
+            outs.append(y)                           # [B, M, C']
 
         return new_xyz, jnp.concatenate(outs, axis=-1)

@@ -38,6 +38,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _lrelu(x):
@@ -147,6 +148,187 @@ def _fwd_pallas(nbr_t, ctr, wn, we, w1, w2, *, aggregate, cdt):
     )(nbr_t.astype(cdt), ctr.astype(cdt), wn, we, w1p, w2p)
 
 
+def _lrelu_grad(z):
+    return jnp.where(z >= 0, 1.0, 0.2)
+
+
+def _edgeconv_bwd_kernel(nbr_ref, ctr_ref, wn_ref, we_ref, w1_ref, w2_ref,
+                         g_ref, gnbr_ref, gctr_ref, gwn_ref, gwe_ref,
+                         gw1_ref, gw2_ref, *, k, aggregate, mlp, cdt):
+    """Per-tile backward, all recompute in VMEM (no HBM intermediates).
+
+    Pass A recomputes every neighbor's output y_j to reproduce the
+    aggregation (and, for max, XLA's tie-splitting gradient rule:
+    g * (y_j == max) / n_ties). Pass B backpropagates each plane,
+    accumulating the weight gradients across the sequential grid.
+    """
+    f32 = jnp.float32
+    ctr = ctr_ref[0]                                   # [T, C]
+    wn = wn_ref[:].astype(cdt)
+    we = we_ref[:].astype(cdt)
+    if mlp:
+        w1 = w1_ref[:].astype(cdt)
+        w2 = w2_ref[:].astype(cdt)
+    g = g_ref[0].astype(f32)                           # [T, O]
+
+    def fwd_plane(j):
+        nb = nbr_ref[0, j]
+        z1a = jnp.dot(nb, wn, preferred_element_type=f32)
+        z1b = jnp.dot(nb - ctr, we, preferred_element_type=f32)
+        h1 = (_lrelu(z1a) + _lrelu(z1b)).astype(cdt)
+        if not mlp:
+            return nb, z1a, z1b, h1, None, None, h1
+        z2 = jnp.dot(h1, w1, preferred_element_type=f32)
+        h2 = _lrelu(z2).astype(cdt)
+        z3 = jnp.dot(h2, w2, preferred_element_type=f32)
+        y = _lrelu(z3).astype(cdt)
+        return nb, z1a, z1b, h1, z2, z3, y
+
+    ys = []
+    acc = None
+    for j in range(k):                                 # pass A: outputs
+        y = fwd_plane(j)[-1]
+        ys.append(y)
+        acc = y if acc is None else _fold(acc, y, aggregate)
+
+    if aggregate == "max" or aggregate == "min":
+        ties = jnp.zeros(acc.shape, f32)
+        for j in range(k):
+            ties = ties + (ys[j] == acc).astype(f32)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    gwn_acc = jnp.zeros(gwn_ref.shape, f32)
+    gwe_acc = jnp.zeros(gwe_ref.shape, f32)
+    if mlp:
+        gw1_acc = jnp.zeros(gw1_ref.shape, f32)
+        gw2_acc = jnp.zeros(gw2_ref.shape, f32)
+    gctr = jnp.zeros(ctr.shape, f32)
+
+    for j in range(k):                                 # pass B: backprop
+        nb, z1a, z1b, h1, z2, z3, y = fwd_plane(j)
+        if aggregate in ("max", "min"):
+            gy = g * (ys[j] == acc).astype(f32) / ties
+        elif aggregate == "sum":
+            gy = g
+        else:                                          # mean
+            gy = g / jnp.asarray(k, f32)
+        if mlp:
+            h2 = _lrelu(z2).astype(cdt)
+            d3 = gy * _lrelu_grad(z3)                  # [T, O]
+            gw2_acc += jax.lax.dot_general(
+                h2, d3.astype(cdt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            gh2 = jax.lax.dot_general(
+                d3.astype(cdt), w2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            d2 = gh2 * _lrelu_grad(z2)                 # [T, H]
+            gw1_acc += jax.lax.dot_general(
+                h1, d2.astype(cdt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            gh1 = jax.lax.dot_general(
+                d2.astype(cdt), w1,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        else:
+            gh1 = gy
+        d1a = gh1 * _lrelu_grad(z1a)                   # [T, H]
+        d1b = gh1 * _lrelu_grad(z1b)
+        gwn_acc += jax.lax.dot_general(
+            nb, d1a.astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        gwe_acc += jax.lax.dot_general(
+            nb - ctr, d1b.astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        gnb_a = jax.lax.dot_general(
+            d1a.astype(cdt), wn,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        gnb_b = jax.lax.dot_general(
+            d1b.astype(cdt), we,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        gnbr_ref[0, j] = (gnb_a + gnb_b).astype(gnbr_ref.dtype)
+        gctr = gctr - gnb_b
+
+    gctr_ref[0] = gctr.astype(gctr_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        gwn_ref[...] = gwn_acc.astype(gwn_ref.dtype)
+        gwe_ref[...] = gwe_acc.astype(gwe_ref.dtype)
+        if mlp:
+            gw1_ref[...] = gw1_acc.astype(gw1_ref.dtype)
+            gw2_ref[...] = gw2_acc.astype(gw2_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        gwn_ref[...] += gwn_acc.astype(gwn_ref.dtype)
+        gwe_ref[...] += gwe_acc.astype(gwe_ref.dtype)
+        if mlp:
+            gw1_ref[...] += gw1_acc.astype(gw1_ref.dtype)
+            gw2_ref[...] += gw2_acc.astype(gw2_ref.dtype)
+
+
+def _bwd_pallas(nbr_t, ctr, wn, we, w1, w2, g, *, aggregate, cdt):
+    b, k, n, c = nbr_t.shape
+    mlp = w1 is not None
+    h = wn.shape[-1]
+    out_dim = w2.shape[-1] if mlp else h
+    # the backward keeps ~4x the forward's live state per plane (ys list +
+    # unrolled pass-B temporaries are stack-allocated per plane)
+    t = _pick_tile(n, k, 4 * max(c, h, out_dim))
+    if t == 0:
+        return None
+    w1p = w1 if mlp else we
+    w2p = w2 if mlp else we
+    kern = functools.partial(_edgeconv_bwd_kernel, k=k, aggregate=aggregate,
+                             mlp=mlp, cdt=cdt)
+    outs = pl.pallas_call(
+        kern,
+        grid=(b, n // t),
+        in_specs=[
+            pl.BlockSpec((1, k, t, c), lambda bi, i: (bi, 0, i, 0)),
+            pl.BlockSpec((1, t, c), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec(wn.shape, lambda bi, i: (0, 0)),
+            pl.BlockSpec(we.shape, lambda bi, i: (0, 0)),
+            pl.BlockSpec(w1p.shape, lambda bi, i: (0, 0)),
+            pl.BlockSpec(w2p.shape, lambda bi, i: (0, 0)),
+            pl.BlockSpec((1, t, out_dim), lambda bi, i: (bi, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, t, c), lambda bi, i: (bi, 0, i, 0)),
+            pl.BlockSpec((1, t, c), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec(wn.shape, lambda bi, i: (0, 0)),
+            pl.BlockSpec(we.shape, lambda bi, i: (0, 0)),
+            pl.BlockSpec(w1p.shape, lambda bi, i: (0, 0)),
+            pl.BlockSpec(w2p.shape, lambda bi, i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(nbr_t.shape, nbr_t.dtype),
+            jax.ShapeDtypeStruct(ctr.shape, ctr.dtype),
+            jax.ShapeDtypeStruct(wn.shape, jnp.float32),
+            jax.ShapeDtypeStruct(we.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w1p.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w2p.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(nbr_t.astype(cdt), ctr.astype(cdt), wn, we, w1p, w2p, g.astype(cdt))
+    gnbr, gctr, gwn, gwe, gw1, gw2 = outs
+    if not mlp:
+        gw1 = gw2 = None
+    return (gnbr, gctr, gwn.astype(wn.dtype), gwe.astype(we.dtype),
+            None if gw1 is None else gw1.astype(w1.dtype),
+            None if gw2 is None else gw2.astype(w2.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _edgeconv_fused(nbr_t, ctr, wn, we, w1, w2, aggregate, cdt):
     return _fwd_pallas(nbr_t, ctr, wn, we, w1, w2, aggregate=aggregate,
@@ -161,6 +343,10 @@ def _vjp_fwd(nbr_t, ctr, wn, we, w1, w2, aggregate, cdt):
 
 def _vjp_bwd(aggregate, cdt, res, g):
     nbr_t, ctr, wn, we, w1, w2 = res
+    grads = _bwd_pallas(nbr_t, ctr, wn, we, w1, w2, g,
+                        aggregate=aggregate, cdt=cdt)
+    if grads is not None:
+        return grads
     ref = functools.partial(_reference_impl, aggregate=aggregate, cdt=cdt)
     _, vjp = jax.vjp(ref, nbr_t, ctr, wn, we, w1, w2)
     return vjp(g)
