@@ -26,6 +26,10 @@ from tpugan_tpu.ops.neighbors import fps, gather, group_all, query_and_group
 # grouped-MLP path globally (A/B escape hatch — the two paths are equal to
 # the XLA formulation's own precision, pinned by test_pooled_mlp_fused.py).
 _FUSED_DEFAULT = os.environ.get("TPUGAN_FUSED_SETCONV", "1") != "0"
+# TPUGAN_FUSED_SETCONV_TRAIN=1 also auto-enables the kernel in TRAINING
+# graphs (it carries a dedicated multi-pass Pallas backward,
+# pooled_mlp_kernel._bwd_pallas_bn/_bwd_pallas_affine).
+_FUSED_TRAIN = os.environ.get("TPUGAN_FUSED_SETCONV_TRAIN", "0") == "1"
 
 
 class SetConv(nn.Module):
@@ -92,7 +96,8 @@ class SetConv(nn.Module):
             else:
                 grouped = group_all(xyz, features, use_xyz=self.use_xyz)
             use_fused = (self.fused if self.fused is not None
-                         else (_FUSED_DEFAULT and not train))
+                         else (_FUSED_DEFAULT
+                               and ((not train) or _FUSED_TRAIN)))
             y = SharedMLP(
                 mlp_spec, act=self.act,
                 norm="batch" if self.bn else "none",
