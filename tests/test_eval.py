@@ -172,3 +172,24 @@ def test_position_metrics_masked_cd_full_cloud(rng):
     assert np.isclose(cd_m, cd_ref, rtol=1e-5)
     assert np.isclose(emd_m, emd_ref, rtol=1e-4)
     assert np.isclose(mmd_m, mmd_ref, rtol=1e-4)
+
+
+def test_dense_density_matches_bruteforce_oracle(rng):
+    # The uncapped (binned-kernel) density vs a numpy all-pairs oracle on
+    # a cloud dense enough that the K=64-capped kNN form would clip.
+    from tpugan_tpu.eval.analysis import get_particle_density
+
+    pos = rng.uniform(-0.2, 0.2, (500, 3)).astype(np.float32)
+    cutoff = 0.25  # most particles have >64 in-radius neighbors
+    d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+    q = d / cutoff
+    ker = np.where(q <= 0.5, 6.0 * (q ** 3 - q ** 2) + 1.0,
+                   np.where(q <= 1.0, 2.0 * (1.0 - q) ** 3, 0.0))
+    want = ker.sum(1)[:, None]
+    got = get_particle_density(pos, cutoff, dense=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # and the capped form agrees on a sparse cloud
+    sparse = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    a = get_particle_density(sparse, 0.15, dense=True)
+    b = get_particle_density(sparse, 0.15, dense=False)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)

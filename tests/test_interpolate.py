@@ -125,3 +125,79 @@ def test_dense_interpolation_respects_validity_mask(rng):
     want = np.asarray(cubic_interpolation_dense(
         jnp.asarray(q), jnp.asarray(f[:30]), jnp.asarray(p[:30]), 0.6))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_binned_interp_matches_dense(rng):
+    # Grid-binned pruned interpolation == dense all-in-radius kernel
+    # (exact up to fp reorder); includes a validity mask and a non-TILE_Q
+    # query count (exercises the pad-row AABB handling).
+    from tpugan_tpu.ops.pallas.binned_interp_kernel import (
+        binned_interp_pallas)
+    from tpugan_tpu.ops.pallas.interp_kernel import kernel_interp_pallas
+
+    b, nq, m, c = 2, 300, 1024, 3
+    q = jnp.asarray(rng.uniform(-1, 1, (b, nq, 3)).astype(np.float32))
+    p = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
+    f = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32))
+    bias = jnp.zeros((b, m), jnp.float32)
+    bias = bias.at[:, m - 64:].set(1e10)       # masked tail candidates
+
+    for cutoff in (0.15, 0.3):
+        got, gden = binned_interp_pallas(q, p, f, cutoff, bias,
+                                         blk=128, max_blocks=24)
+        want, wden = kernel_interp_pallas(q, p, f, cutoff, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"cutoff={cutoff}")
+        np.testing.assert_allclose(np.asarray(gden), np.asarray(wden),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_binned_interp_overflow_falls_back_exact(rng):
+    # A budget of 1 block cannot cover the in-radius set at this cutoff;
+    # the lax.cond fallback must return the exact dense result anyway.
+    from tpugan_tpu.ops.pallas.binned_interp_kernel import (
+        _select_blocks, _sort_and_blocks, binned_interp_pallas)
+    from tpugan_tpu.ops.pallas.interp_kernel import kernel_interp_pallas
+
+    b, nq, m, c = 1, 256, 512, 2
+    q = jnp.asarray(rng.uniform(-1, 1, (b, nq, 3)).astype(np.float32))
+    p = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
+    f = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32))
+    bias = jnp.zeros((b, m), jnp.float32)
+
+    qs, qorder, cb, vb, bb, bmin, bmax, tmin, tmax = _sort_and_blocks(
+        q, p, f, bias, 128)
+    _, overflow = _select_blocks(bmin, bmax, tmin, tmax, 1.0, 1)
+    assert int(overflow) > 0
+    got, _ = binned_interp_pallas(q, p, f, 1.0, bias, blk=128, max_blocks=1)
+    want, _ = kernel_interp_pallas(q, p, f, 1.0, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_dense_matches_single_pass(rng):
+    # chunked_dense_interp (scale-safe form) == single dense kernel call
+    from tpugan_tpu.ops.pallas.binned_interp_kernel import (
+        _DENSE_CAND_LIMIT, chunked_dense_interp)
+    from tpugan_tpu.ops.pallas import binned_interp_kernel as bik
+    from tpugan_tpu.ops.pallas.interp_kernel import kernel_interp_pallas
+
+    b, nq, m, c = 1, 200, 700, 2
+    q = jnp.asarray(rng.uniform(-1, 1, (b, nq, 3)).astype(np.float32))
+    p = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
+    f = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32))
+    bias = jnp.zeros((b, m), jnp.float32)
+
+    # force chunking by shrinking the limit
+    orig = bik._DENSE_CAND_LIMIT
+    bik._DENSE_CAND_LIMIT = 256
+    try:
+        got, gden = bik.chunked_dense_interp(q, p, f, 0.4, bias)
+    finally:
+        bik._DENSE_CAND_LIMIT = orig
+    want, wden = kernel_interp_pallas(q, p, f, 0.4, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gden), np.asarray(wden),
+                               rtol=1e-4, atol=1e-5)

@@ -198,11 +198,55 @@ def cycle_consistency(
     return float(cd), float(emd), float(mmd)
 
 
+def _dense_spline_density(query: np.ndarray, cand: np.ndarray,
+                          cutoff: float) -> np.ndarray:
+    """All-in-radius coeff=1 spline density via the grid-binned kernel's
+    weight-sum output (ops/pallas/binned_interp_kernel.py) — exact match
+    to the reference's numba loop, which sums EVERY in-radius neighbor
+    (analysis_helper.py:116-149), with no K cap."""
+    from tpugan_tpu.ops.pallas.binned_interp_kernel import (
+        _aabb_sep2,
+        _sort_and_blocks,
+        binned_interp_pallas,
+        chunked_dense_interp,
+    )
+
+    q = jnp.asarray(query, jnp.float32)[None]
+    c = jnp.asarray(cand, jnp.float32)[None]
+    bias = jnp.zeros((1, c.shape[1]), jnp.float32)
+    vals = jnp.zeros(c.shape[:2] + (8,), jnp.float32)
+    # host-side budget probe: the measured max in-radius block count picks
+    # a power-of-two block budget that guarantees the pruned path is exact
+    # (no overflow), or routes to the scale-safe chunked dense form when
+    # pruning cannot win (seam tiles at high relative cutoff).
+    _, _, _, _, _, bmin, bmax, tmin, tmax = _sort_and_blocks(
+        q, c, vals, bias, 128)
+    need = int(jnp.max(jnp.sum(
+        (_aabb_sep2(tmin, tmax, bmin, bmax) <= cutoff * cutoff)
+        .astype(jnp.int32), -1)))
+    budget = 1 << max(3, (max(need, 1) - 1).bit_length())
+    if budget * 128 * 2 <= c.shape[1]:
+        _, den = binned_interp_pallas(q, c, vals, cutoff, bias,
+                                      kind="spline1", max_blocks=budget)
+    else:
+        _, den = chunked_dense_interp(q, c, vals, cutoff, bias,
+                                      kind="spline1")
+    return np.asarray(den[0] - 1e-6)[:, None]
+
+
 def get_particle_density(
-    pos: np.ndarray, cutoff: float, k: int = 64
+    pos: np.ndarray, cutoff: float, k: int = 64, dense: bool = None
 ) -> np.ndarray:
     """Unnormalized cubic-spline kernel density per particle (reference
-    analysis_helper.py:116-149; the numba kernel there uses coeff=1)."""
+    analysis_helper.py:116-149; the numba kernel there uses coeff=1 and
+    sums ALL in-radius neighbors). ``dense`` (auto for >= 20k points)
+    computes the exact uncapped sum via the binned Pallas kernel; the
+    K-capped kNN form below matches it whenever every particle has <= k
+    in-radius neighbors."""
+    if dense is None:
+        dense = pos.shape[0] >= 20000
+    if dense:
+        return _dense_spline_density(pos, pos, cutoff)
     d2, _, in_range = radius_mask_knn(
         jnp.asarray(pos)[None], jnp.asarray(pos)[None], k=k, radius=cutoff
     )
@@ -218,10 +262,15 @@ def get_particle_density(
 
 
 def particle_dns2grid_dns(
-    grid_pos: np.ndarray, pcd_pos: np.ndarray, cutoff: float, k: int = 64
+    grid_pos: np.ndarray, pcd_pos: np.ndarray, cutoff: float, k: int = 64,
+    dense: bool = None,
 ) -> np.ndarray:
     """Density of a particle cloud sampled on grid points (reference
-    analysis_helper.py:291-294)."""
+    analysis_helper.py:291-294). ``dense`` as in get_particle_density."""
+    if dense is None:
+        dense = pcd_pos.shape[0] >= 20000
+    if dense:
+        return _dense_spline_density(grid_pos, pcd_pos, cutoff)
     d2, _, in_range = radius_mask_knn(
         jnp.asarray(grid_pos)[None], jnp.asarray(pcd_pos)[None],
         k=k, radius=cutoff,

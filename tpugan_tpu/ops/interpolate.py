@@ -104,6 +104,7 @@ def cubic_interpolation_dense(
     cutoff: float,
     pos_valid: Optional[jnp.ndarray] = None,
     kind: str = "bicubic",
+    binned: Optional[bool] = None,
 ) -> jnp.ndarray:
     """All-in-radius kernel interpolation (no K cap), fused on TPU.
 
@@ -114,8 +115,17 @@ def cubic_interpolation_dense(
     two MXU matmuls per tile with no gathers
     (ops/pallas/interp_kernel.py). Identical to the capped variant
     whenever every query has <= 32 in-radius neighbors.
+
+    ``binned`` selects the grid-binned pruned kernel
+    (ops/pallas/binned_interp_kernel.py — same result, most of the
+    out-of-radius pairwise work skipped, dense fallback on block-budget
+    overflow keeps it exact). None = auto: on for large candidate sets
+    when TPUGAN_BINNED_INTERP=1.
     """
-    from tpugan_tpu.ops.pallas.interp_kernel import kernel_interp_pallas
+    import os
+
+    from tpugan_tpu.ops.pallas.binned_interp_kernel import (
+        binned_interp_pallas)
 
     squeeze = query_pos.ndim == 2
     if squeeze:
@@ -127,6 +137,17 @@ def cubic_interpolation_dense(
         if pos_valid is not None
         else jnp.zeros(pos.shape[:2], jnp.float32)
     )
-    out, _ = kernel_interp_pallas(query_pos, pos, field, cutoff, bias,
-                                  kind=kind)
+    if binned is None:
+        binned = (os.environ.get("TPUGAN_BINNED_INTERP", "0") == "1"
+                  and pos.shape[1] >= 2048)
+    if binned:
+        out, _ = binned_interp_pallas(query_pos, pos, field, cutoff, bias,
+                                      kind=kind)
+    else:
+        from tpugan_tpu.ops.pallas.binned_interp_kernel import (
+            chunked_dense_interp)
+
+        # chunked past the dense kernel's VMEM candidate wall (exact)
+        out, _ = chunked_dense_interp(query_pos, pos, field, cutoff, bias,
+                                      kind=kind)
     return out[0] if squeeze else out

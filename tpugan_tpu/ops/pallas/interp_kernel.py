@@ -44,6 +44,12 @@ def _kernel_w(r2, cutoff, kind):
         mid = 6.0 * (q ** 3 - q ** 2) + 1.0
         outer = 2.0 * (1.0 - q) ** 3
         w = jnp.where(q <= 0.5, mid, outer) * coeff
+    elif kind == "spline1":
+        # coeff=1 cubic-spline variant: the reference's density oracle
+        # (train_fluid/analysis_helper.py:116-149)
+        mid = 6.0 * (q ** 3 - q ** 2) + 1.0
+        outer = 2.0 * (1.0 - q) ** 3
+        w = jnp.where(q <= 0.5, mid, outer)
     elif kind == "linear":
         w = 1.0 - q
     elif kind == "exponential":
