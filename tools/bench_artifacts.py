@@ -59,6 +59,36 @@ def bench_rollout(num_frames=800, particles=10240):
     }
 
 
+def bench_rollout_device(num_frames=800, particles=10240):
+    """Device-resident lax.scan rollout (eval/rollout.py
+    rollout_sequence_device): chunks of 100 frames advance the mask ring on
+    device; D2H overlaps the next chunk's compute."""
+    from tpugan_tpu.data.synthetic import synthetic_fluid_sequence
+    from tpugan_tpu.eval.rollout import rollout_sequence_device
+    from tpugan_tpu.models import SRNet
+
+    model = SRNet(in_feats=3, node_emb_dim=128, upsample_ratio=8,
+                  compute_dtype=jnp.bfloat16)
+    frames = list(synthetic_fluid_sequence(
+        seed=3, num_particles=particles, num_frames=num_frames))
+    pos = np.stack([np.asarray(f[0], np.float32) for f in frames])
+    pos0 = jnp.asarray(pos[:1])
+    variables = jax.jit(lambda k, f, q: model.init(k, f, q, False))(
+        jax.random.PRNGKey(0), pos0, pos0)
+    rollout_sequence_device(model, variables, pos[:100])   # warm compile
+    t0 = time.time()
+    outputs = rollout_sequence_device(model, variables, pos)
+    used = time.time() - t0
+    assert len(outputs) == num_frames
+    return {
+        "frames": num_frames,
+        "points_per_frame": particles,
+        "upsample_ratio": 8,
+        "seconds": round(used, 2),
+        "frames_per_sec": round(num_frames / used, 2),
+    }
+
+
 def _time_steps(jstep, state, batch, n_steps=30, warmup=5):
     for i in range(warmup):
         state, metrics = jstep(state, batch, jax.random.PRNGKey(i))
@@ -154,6 +184,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=str, default="BENCH_EXTRA_r03.json")
     p.add_argument("--rollout", action="store_true")
+    p.add_argument("--rollout_device", action="store_true")
     p.add_argument("--train_fluid", action="store_true")
     p.add_argument("--train_action", action="store_true")
     p.add_argument("--emd", action="store_true")
@@ -166,6 +197,7 @@ def main():
     results.setdefault("device", jax.devices()[0].device_kind)
 
     for name, fn in (("rollout", bench_rollout),
+                     ("rollout_device", bench_rollout_device),
                      ("train_fluid", bench_train_fluid),
                      ("train_action", bench_train_action),
                      ("emd", bench_emd)):
