@@ -23,6 +23,8 @@ def main():
                         "(train_action/analysis_helper.py:60-83) vs ground "
                         "truth")
     p.add_argument("--emd_iters", type=int, default=3000)
+    p.add_argument("--num_clips", type=int, default=1,
+                   help="average --eval_metrics over the first N test clips")
     opt = p.parse_args()
 
     import jax
@@ -65,11 +67,16 @@ def main():
             variables["params"], restored["sr_net"]["params"])}
 
     fwd = jax.jit(lambda q: model.apply(variables, q, q, False)[0])
-    preds = []
-    for f in range(lowres.shape[0]):
-        pred = np.asarray(fwd(jnp.asarray(lowres[f])[None]))[0]
-        preds.append(pred + centers[f])   # undo per-frame centering
-    preds = np.stack(preds)
+
+    def upsample_clip(item):
+        lowres, centers = item["lowres_pos"], item["centers"]
+        preds = []
+        for f in range(lowres.shape[0]):
+            pred = np.asarray(fwd(jnp.asarray(lowres[f])[None]))[0]
+            preds.append(pred + centers[f])   # undo per-frame centering
+        return np.stack(preds)
+
+    preds = upsample_clip(item)
     np.savez(opt.out, pred=preds, label=item["label"])
     print(f"wrote {preds.shape} upsampled clip to {opt.out} "
           f"(label {int(item['label'])})")
@@ -83,17 +90,20 @@ def main():
         )
 
         rng = np.random.default_rng(0)
-        gt = item["highres_pos"] + centers[:, None, :]
-        pred_clip = pad_clip_with_appropriate_size(list(preds), rng=rng)
-        gt_clip = pad_clip_with_appropriate_size(list(gt), rng=rng)
         cds, emds = [], []
-        for f in range(pred_clip.shape[0]):
-            cd, emd = action_position_metrics(
-                jnp.asarray(pred_clip[f]), jnp.asarray(gt_clip[f]),
-                emd_iters=opt.emd_iters,
-            )
-            cds.append(cd)
-            emds.append(emd)
+        for ci in range(min(opt.num_clips, len(ds))):
+            item_i = item if ci == 0 else ds[ci]
+            preds_i = preds if ci == 0 else upsample_clip(item_i)
+            gt = item_i["highres_pos"] + item_i["centers"][:, None, :]
+            pred_clip = pad_clip_with_appropriate_size(list(preds_i), rng=rng)
+            gt_clip = pad_clip_with_appropriate_size(list(gt), rng=rng)
+            for f in range(pred_clip.shape[0]):
+                cd, emd = action_position_metrics(
+                    jnp.asarray(pred_clip[f]), jnp.asarray(gt_clip[f]),
+                    emd_iters=opt.emd_iters,
+                )
+                cds.append(cd)
+                emds.append(emd)
         print(f"action eval protocol: CD/2048 = {np.mean(cds):.6f}, "
               f"EMD = {np.mean(emds):.6f} over {len(cds)} frames")
 

@@ -104,6 +104,21 @@ def test_knn_pallas_chunked_certificate_fallback(rng):
     )
 
 
+def test_knn_pallas_partial_unroll_identical(rng, monkeypatch):
+    # TPUGAN_KNN_FOLD_UNROLL=<U> partially unrolls the fold loop (U tiles
+    # per fori_loop step + static remainder); results must be bit-identical
+    # to the default schedule. S = 4096/128 = 32 tiles, U=5 leaves a
+    # 2-tile remainder.
+    q = jnp.asarray(rng.standard_normal((1, 256, 8)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((1, 4096, 8)).astype(np.float32))
+    bias = jnp.zeros((1, 4096), jnp.float32)
+    d2_ref, idx_ref = knn_pallas(q, c, bias, 20)
+    monkeypatch.setenv("TPUGAN_KNN_FOLD_UNROLL", "5")
+    d2, idx = knn_pallas(q, c, bias, 20)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d2_ref))
+
+
 def test_fps_pallas_matches_greedy(rng):
     pos = jnp.asarray(rng.standard_normal((2, 300, 3)).astype(np.float32))
     pen = jnp.zeros((2, 300), jnp.float32)

@@ -30,6 +30,9 @@ def get_arguments(parser: argparse.ArgumentParser):
     add("--batch_size", type=int, default=4)
     add("--num_points", type=int, default=2048)
     add("--w", type=float, default=2.0)
+    add("--exact_graph", action="store_true",
+        help="exact feature-space kNN graphs instead of the approximate "
+             "bf16 kernel (ops/neighbors.py graph_knn)")
     add("--freeze_D", action="store_true")
     add("--dump_visualization", action="store_true")
     add("--device_sampling", action="store_true",
@@ -60,6 +63,11 @@ def main():
     opt = get_arguments(parser)
     print("Using following options")
     print(opt)
+
+    if opt.exact_graph:
+        from tpugan_tpu.ops.neighbors import set_approx_graph_knn
+
+        set_approx_graph_knn(False)
 
     from tpugan_tpu.config import ActionTrainConfig
     from tpugan_tpu.data import MSRAction3DDataset, action_batch_iterator

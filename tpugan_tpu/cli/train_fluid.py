@@ -49,6 +49,10 @@ def get_arguments(parser: argparse.ArgumentParser):
              "the jitted step (fps_pallas) instead of in the host loader; "
              "same greedy FPS semantics, ~2x input-pipeline throughput on "
              "a single-core host")
+    add("--exact_graph", action="store_true",
+        help="build EdgeConv/IDGCN feature-space kNN graphs with the exact "
+             "kernel instead of the approximate bf16 reduced-fold one "
+             "(ops/neighbors.py graph_knn)")
     add("--freeze_D", action="store_true")
     add("--dump_visualization", action="store_true")
     # TPU-native additions
@@ -83,6 +87,11 @@ def main():
     opt = get_arguments(parser)
     print("Using following options")
     print(opt)
+
+    if opt.exact_graph:
+        from tpugan_tpu.ops.neighbors import set_approx_graph_knn
+
+        set_approx_graph_knn(False)
 
     from tpugan_tpu.config import FluidTrainConfig
     from tpugan_tpu.data import SiamFluidDataset, fluid_batch_iterator

@@ -95,29 +95,51 @@ def make_synthetic_action_dataset(
     frames: int = 12,
     points: int = 1500,
     seed: int = 0,
+    num_classes: int = 3,
 ) -> str:
     """Synthetic MSR-Action3D-schema dataset: ``a{label}_s{subj}_e{ex}_
     sdepth.npz`` files holding an object-array ``point_clouds`` of [Ni, 3]
     frames in depth-camera units (reference train_action/msr_dataset.py
-    loads exactly this layout; subjects <= 5 are train, > 5 test)."""
+    loads exactly this layout; subjects <= 5 are train, > 5 test).
+
+    Classes carry DISTINCT motion signatures (sway axis/frequency/
+    amplitude and drift speed are functions of the label; the per-video
+    random phase and subject jitter are not) so the discriminator-feature
+    transfer eval (cli/eval_tempo_feat.py, reference eval_tempo_feat.py)
+    measures genuine temporal-feature quality rather than chance: the
+    spatial content of every class is the same blob, only the dynamics
+    separate them."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     for v in range(num_videos):
-        label = (v % 3) + 1
-        # spread subjects across the reference's train(<=5)/test(>5) split
-        subject = 1 + (v * 3) % 10
+        label = (v % num_classes) + 1
+        # alternate subjects across the reference's train(<=5)/test(>5)
+        # split (order 1,6,2,7,...) so even tiny fixtures hit both splits;
+        # (label, subject, ex) is a bijection of v so filenames never clash
+        s = (v // num_classes) % 10
+        subject = s // 2 + 1 + (5 if s % 2 else 0)
         body = _blob(rng, points, [0, 0, 0], 1.0) * np.array([60, 120, 40])
+        # class-determined dynamics; video-random phase
+        axis = label % 3
+        freq = 0.18 + 0.11 * (label % 5)
+        amp = 22.0 + 9.0 * (label % 4)
+        drift = 2.0 + 2.5 * ((label // 3) % 3)
+        phase = rng.uniform(0, 2 * np.pi)
         clip = []
         for t in range(frames):
-            sway = np.array([30 * np.sin(0.3 * t + v), 5 * t, 0], np.float32)
+            sway = np.zeros(3, np.float32)
+            sway[axis] = amp * np.sin(freq * t + phase)
+            sway[1] += drift * t
             frame = body + sway + rng.standard_normal((points, 3)) * 2
             frame = frame + np.array([0, 0, 800], np.float32)
             clip.append(frame.astype(np.float64))
         arr = np.empty(frames, dtype=object)
         for t in range(frames):
             arr[t] = clip[t]
+        ex = 1 + (v // num_classes) // 10  # unique filename past 10 subjects
         np.savez(
-            os.path.join(root, f"a{label:02d}_s{subject:02d}_e01_sdepth.npz"),
+            os.path.join(root,
+                         f"a{label:02d}_s{subject:02d}_e{ex:02d}_sdepth.npz"),
             point_clouds=arr,
         )
     return root

@@ -39,6 +39,7 @@ should go through the chunked XLA fallback.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -168,11 +169,16 @@ def _knn_chunked_kernel(
     def sl(i):
         return slice(i * _CHUNK_L, (i + 1) * _CHUNK_L)
 
-    # Phase 1: kp read-only fold peels. On TPU the tile loop is fully
-    # unrolled (static slices compile to straight-line vector loads;
-    # a fori_loop with dynamic offsets costs ~5us/iteration of scalar
-    # address overhead, measured 2x the pure VMEM-read time). Interpret
-    # mode keeps the rolled loop so CPU test builds stay fast.
+    # Phase 1: kp read-only fold peels. On TPU the tile loop is unrolled
+    # (static slices compile to straight-line vector loads; a fully rolled
+    # fori_loop with dynamic offsets costs ~5us/iteration of scalar
+    # address overhead, measured 2x the pure VMEM-read time). ``unroll``
+    # semantics: True = full static unroll, False = rolled loop (interpret
+    # mode, keeps CPU test builds fast), int U > 1 = PARTIAL unroll — a
+    # fori_loop whose body processes U tiles from a dynamic base offset,
+    # amortizing the scalar overhead over U vector reads while emitting
+    # S/U-times less straight-line code (Mosaic compile time for new
+    # shapes drops roughly proportionally; ROADMAP round-3 item).
     def _tile_at(i):
         if isinstance(i, int):       # unrolled: static slice
             return slice(i * _CHUNK_L, (i + 1) * _CHUNK_L)
@@ -196,9 +202,23 @@ def _knn_chunked_kernel(
             jnp.full((tq, _CHUNK_L), BIG, jnp.float32),
             jnp.zeros((tq, _CHUNK_L), jnp.int32),
         )
-        if unroll:
+        U = int(unroll)
+        if U == 1 and unroll is not False:   # True: full static unroll
             carry = init
             for i in range(S):
+                carry = body(i, carry)
+            return carry
+        if U > 1:
+            n_rolled = (S // U) * U
+
+            def body_u(g, carry):
+                base = g * U
+                for t in range(U):
+                    carry = body(base + t, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, S // U, body_u, init)
+            for i in range(n_rolled, S):     # static remainder tiles
                 carry = body(i, carry)
             return carry
         return jax.lax.fori_loop(0, S, body, init)
@@ -273,9 +293,14 @@ def _knn_pallas_impl(query, cand, cvalid_bias, k, approx=False):
     if chunked:
         kp = _chunk_kp_approx(k) if approx else _chunk_kp(k)
         vdtype = jnp.bfloat16 if approx else jnp.float32
+        # TPUGAN_KNN_FOLD_UNROLL=<U>: partial unroll (U tiles per rolled
+        # step) — much faster Mosaic compiles for new shapes at a small
+        # runtime cost. Unset/0 = full unroll.
+        env_u = int(os.environ.get("TPUGAN_KNN_FOLD_UNROLL", "0"))
+        unroll = env_u if env_u > 1 else not interpret
         d2, idx = pl.pallas_call(
             functools.partial(_knn_chunked_kernel, k=k, kp=kp,
-                              unroll=not interpret, approx=approx),
+                              unroll=unroll, approx=approx),
             grid=(b, nq_p // tile_q),
             in_specs=in_specs,
             out_specs=[
