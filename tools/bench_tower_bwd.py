@@ -23,7 +23,7 @@ vel3 = [jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32) * 0.1)
 
 dis = FluidSpatialDis()
 v = dis.init(jax.random.PRNGKey(0), pts, train=True)
-tempo = FluidTempoDis()
+tempo = FluidTempoDis(3)
 vt = tempo.init(jax.random.PRNGKey(1), pts3, 0.1, feat_lst=vel3, train=True)
 
 

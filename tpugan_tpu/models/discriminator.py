@@ -58,16 +58,20 @@ class FluidSpatialDis(nn.Module):
 
     def setup(self):
         sn = self.spectral_norm
+        # fused_train: measured win on this tower only (setconv.py note)
         self.sa = [
             SetConv.ssg([64, 128], npoint=1024, radius=0.15, nsample=32,
                         mask_dummy=True, spectral_norm=True,
-                        act=leaky_relu_001),
+                        act=leaky_relu_001, fused_train=True),
             SetConv.ssg([128, 128], npoint=512, radius=0.30, nsample=32,
-                        spectral_norm=True, act=leaky_relu_001),
+                        spectral_norm=True, act=leaky_relu_001,
+                        fused_train=True),
             SetConv.ssg([128, 256], npoint=128, radius=0.60, nsample=16,
-                        spectral_norm=True, act=leaky_relu_001),
+                        spectral_norm=True, act=leaky_relu_001,
+                        fused_train=True),
         ]
-        self.sa_pooling = SetConv.ssg([256, 256], spectral_norm=sn)
+        self.sa_pooling = SetConv.ssg([256, 256], spectral_norm=sn,
+                                      fused_train=True)
         self.fc = _FCHead([256, 64], [0.2, 0.0], spectral_norm=True)
 
     def __call__(

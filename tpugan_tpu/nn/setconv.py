@@ -57,6 +57,13 @@ class SetConv(nn.Module):
     # the XLA formulation, so training would pay the fused forward ON TOP
     # of the recompute (measured: no win). True forces it everywhere.
     fused: Optional[bool] = None
+    # Opt this module into the fused path in TRAINING graphs too (uses the
+    # dedicated multi-pass Pallas backward). Measured per-tower on the v5e
+    # chip (tools/bench_tower_bwd.py): the fluid spatial tower wins
+    # (42.4 -> 37.7 ms fwd+bwd), the tempo tower loses (58.3 -> 65.2 ms),
+    # so this is a per-module knob rather than a global default. Still
+    # honors the TPUGAN_FUSED_SETCONV=0 kill switch.
+    fused_train: bool = False
 
     @classmethod
     def ssg(cls, mlp, npoint=None, radius=None, nsample=None, **kw):
@@ -97,7 +104,8 @@ class SetConv(nn.Module):
                 grouped = group_all(xyz, features, use_xyz=self.use_xyz)
             use_fused = (self.fused if self.fused is not None
                          else (_FUSED_DEFAULT
-                               and ((not train) or _FUSED_TRAIN)))
+                               and ((not train) or _FUSED_TRAIN
+                                    or self.fused_train)))
             y = SharedMLP(
                 mlp_spec, act=self.act,
                 norm="batch" if self.bn else "none",
