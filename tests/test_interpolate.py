@@ -168,12 +168,61 @@ def test_binned_interp_overflow_falls_back_exact(rng):
 
     qs, qorder, cb, vb, bb, bmin, bmax, tmin, tmax = _sort_and_blocks(
         q, p, f, bias, 128)
-    _, overflow = _select_blocks(bmin, bmax, tmin, tmax, 1.0, 1)
+    _, _, overflow = _select_blocks(bmin, bmax, tmin, tmax, 1.0, 1)
     assert int(overflow) > 0
     got, _ = binned_interp_pallas(q, p, f, 1.0, bias, blk=128, max_blocks=1)
     want, _ = kernel_interp_pallas(q, p, f, 1.0, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_select_blocks_adaptive_dead_slots(rng):
+    # Per-tile adaptive pruning contract: ``need`` counts exactly the
+    # in-radius blocks, they occupy the first ``need`` slots, and every
+    # dead slot repeats the tile's LAST live block id (so the Pallas
+    # walk's index map is constant over dead steps and the DMA is elided).
+    from tpugan_tpu.ops.pallas.binned_interp_kernel import (
+        _aabb_sep2, _select_blocks, _sort_and_blocks)
+
+    b, nq, m = 1, 512, 8192
+    q = jnp.asarray(rng.uniform(-1, 1, (b, nq, 3)).astype(np.float32))
+    p = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
+    f = jnp.asarray(rng.standard_normal((b, m, 2)).astype(np.float32))
+    bias = jnp.zeros((b, m), jnp.float32)
+    cutoff, budget = 0.1, 52   # need spans ~38..50 of 64 blocks here
+
+    _, _, _, _, _, bmin, bmax, tmin, tmax = _sort_and_blocks(
+        q, p, f, bias, 128)
+    sel, need, overflow = _select_blocks(bmin, bmax, tmin, tmax, cutoff,
+                                         budget)
+    sep2 = np.asarray(_aabb_sep2(tmin, tmax, bmin, bmax))
+    want_need = (sep2 <= cutoff * cutoff).sum(-1)
+    if int(overflow) == 0:
+        np.testing.assert_array_equal(np.asarray(need), want_need)
+    sel_np, need_np = np.asarray(sel), np.asarray(need)
+    assert (need_np < budget).any(), "budget never slack; test is vacuous"
+    for ti in range(sel_np.shape[1]):
+        nd = need_np[0, ti]
+        live = sel_np[0, ti, :max(nd, 1)]
+        # live slots are exactly the in-radius blocks
+        if 0 < nd <= budget:
+            assert set(live) == set(np.where(sep2[0, ti] <= cutoff ** 2)[0])
+        # dead slots repeat the last live id
+        assert (sel_np[0, ti, nd:] == sel_np[0, ti, max(nd - 1, 0)]).all()
+
+    # end-to-end with slack budget (dead slots live) == dense kernel;
+    # a double-count of the repeated block id would break this
+    from tpugan_tpu.ops.pallas.binned_interp_kernel import (
+        binned_interp_pallas)
+    from tpugan_tpu.ops.pallas.interp_kernel import kernel_interp_pallas
+
+    got, gden = binned_interp_pallas(q, p, f, cutoff, bias,
+                                     blk=128, max_blocks=budget)
+    want, wden = kernel_interp_pallas(q, p, f, cutoff, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gden), np.asarray(wden),
+                               rtol=2e-4, atol=1e-5)
 
 
 def test_chunked_dense_matches_single_pass(rng):

@@ -162,47 +162,67 @@ def _sort_and_blocks(query, cand, values, cvalid_bias, blk):
 
 
 def _select_blocks(bmin, bmax, tmin, tmax, cutoff, max_blocks):
-    """Nearest ``max_blocks`` candidate blocks per query tile, plus the
-    number of tiles whose in-radius block count exceeded the budget."""
+    """Nearest ``max_blocks`` candidate blocks per query tile.
+
+    Returns (sel [b, nt, B] int32, need [b, nt] int32, overflow scalar).
+    ``need`` is the per-tile in-radius block count clamped to the budget:
+    because top_k orders by ascending AABB separation, the first ``need``
+    slots of ``sel`` are exactly the in-radius blocks, and every later
+    slot is provably out of radius (weight exactly 0 for all its
+    candidates). Those dead slots are rewritten to REPEAT the tile's last
+    live block id, so the Pallas walk's index map returns an unchanged
+    block on every skipped step and the grid pipeline elides the DMA —
+    the static budget then costs ~nothing beyond each tile's true need
+    (per-tile adaptive pruning; ROADMAP round-3 item)."""
     sep2 = _aabb_sep2(tmin, tmax, bmin, bmax)          # [b, nt, nb]
     max_blocks = min(max_blocks, sep2.shape[-1])
     in_radius = sep2 <= cutoff * cutoff
-    need = jnp.sum(in_radius.astype(jnp.int32), axis=-1)
-    overflow = jnp.sum((need > max_blocks).astype(jnp.int32))
+    need_full = jnp.sum(in_radius.astype(jnp.int32), axis=-1)
+    overflow = jnp.sum((need_full > max_blocks).astype(jnp.int32))
     _, sel = jax.lax.top_k(-sep2, max_blocks)          # [b, nt, B]
-    return sel.astype(jnp.int32), overflow
+    sel = sel.astype(jnp.int32)
+    need = jnp.minimum(need_full, max_blocks)
+    last_live = jnp.take_along_axis(
+        sel, jnp.maximum(need - 1, 0)[..., None], axis=-1)
+    slot = jnp.arange(max_blocks, dtype=jnp.int32)[None, None, :]
+    sel = jnp.where(slot < need[..., None], sel, last_live)
+    return sel, need, overflow
 
 
-def _binned_kernel(sel_ref, q_ref, c_ref, v_ref, bias_ref, num_ref, den_ref,
-                   *, cutoff, kind):
-    q = q_ref[0]                                       # [TQ, 3]
-    c = c_ref[0, 0]                                    # [blk, 3]
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)
-    c2 = jnp.sum(c * c, axis=1)[None]
-    cross = jax.lax.dot_general(
-        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d2 = jnp.maximum(q2 + c2 - 2.0 * cross, 0.0) + bias_ref[0, 0, 0][None]
-    w = _kernel_w(d2, cutoff, kind)                    # [TQ, blk]
-    num = jax.lax.dot_general(
-        w, v_ref[0, 0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    den = jnp.sum(w, axis=1)[:, None]
+def _binned_kernel(sel_ref, need_ref, q_ref, c_ref, v_ref, bias_ref,
+                   num_ref, den_ref, *, cutoff, kind):
+    si = pl.program_id(2)
 
-    @pl.when(pl.program_id(2) == 0)
+    @pl.when(si == 0)
     def _():
-        num_ref[0] = num
-        den_ref[0] = den
+        num_ref[0] = jnp.zeros_like(num_ref[0])
+        den_ref[0] = jnp.zeros_like(den_ref[0])
 
-    @pl.when(pl.program_id(2) != 0)
+    # Compute only the tile's live (in-radius) blocks: dead slots carry a
+    # repeated block id (DMA elided) and provably-zero weights, so skipping
+    # them is exact and drops the per-tile cost from the static budget to
+    # the tile's true need.
+    @pl.when(si < need_ref[pl.program_id(0), pl.program_id(1)])
     def _():
+        q = q_ref[0]                                   # [TQ, 3]
+        c = c_ref[0, 0]                                # [blk, 3]
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)
+        c2 = jnp.sum(c * c, axis=1)[None]
+        cross = jax.lax.dot_general(
+            q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = jnp.maximum(q2 + c2 - 2.0 * cross, 0.0) + bias_ref[0, 0, 0][None]
+        w = _kernel_w(d2, cutoff, kind)                # [TQ, blk]
+        num = jax.lax.dot_general(
+            w, v_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         num_ref[0] += num
-        den_ref[0] += den
+        den_ref[0] += jnp.sum(w, axis=1)[:, None]
 
 
 def _compute_d2_rows(q, c, bias):
@@ -213,8 +233,11 @@ def _compute_d2_rows(q, c, bias):
     return jnp.maximum(q2 + c2 - 2.0 * cross, 0.0) + bias[None]
 
 
-def _binned_xla(qs, cb, vb, bb, sel, cutoff, kind):
-    """Gather-based XLA twin of the Pallas walk (CPU path / oracle)."""
+def _binned_xla(qs, cb, vb, bb, sel, need, cutoff, kind):
+    """Gather-based XLA twin of the Pallas walk (CPU path / oracle).
+
+    Dead slots repeat a LIVE block id (for the Pallas DMA elision), so
+    they must be masked out here or they would double-count."""
     b, nt, bsel = sel.shape
     tq = TILE_Q
     blk = cb.shape[2]
@@ -225,6 +248,9 @@ def _binned_xla(qs, cb, vb, bb, sel, cutoff, kind):
         vb, flat[:, :, None, None], axis=1).reshape(b, nt, bsel * blk, -1)
     bsel_b = jnp.take_along_axis(
         bb, flat[:, :, None], axis=1).reshape(b, nt, bsel * blk)
+    slot_dead = jnp.arange(bsel, dtype=jnp.int32)[None, None] >= need[..., None]
+    bsel_b = bsel_b + jnp.repeat(
+        jnp.where(slot_dead, _BIG, 0.0), blk, axis=-1)
 
     def per_tile(q, c, v, bias):
         d2 = _compute_d2_rows(q, c, bias)
@@ -238,31 +264,59 @@ def _binned_xla(qs, cb, vb, bb, sel, cutoff, kind):
     return num.reshape(b, nt * tq, -1), den.reshape(b, nt * tq)
 
 
-def _binned_pallas(qs, cb, vb, bb, sel, cutoff, kind):
+# Scalar-prefetch operands live in SMEM (~1 MB/core); keep each call's
+# block-id table comfortably under that by walking tile chunks.
+_SEL_SMEM_BYTES = 512 * 1024
+
+
+def _binned_pallas(qs, cb, vb, bb, sel, need, cutoff, kind):
+    """Tile-chunking wrapper: a [b, nt, bsel] int32 ``sel`` table beyond
+    the SMEM budget (e.g. 624 tiles x 512 blocks at eval scale = 1.28 MB)
+    is split into per-chunk pallas_calls along the tile axis; outputs
+    concatenate exactly."""
+    b, nt, bsel = sel.shape
+    max_nt = max(1, _SEL_SMEM_BYTES // max(1, b * bsel * 4))
+    if nt > max_nt:
+        nums, dens = [], []
+        for t0 in range(0, nt, max_nt):
+            t1 = min(nt, t0 + max_nt)
+            n, d = _binned_pallas_call(
+                qs[:, t0 * TILE_Q:t1 * TILE_Q], cb, vb, bb,
+                sel[:, t0:t1], need[:, t0:t1], cutoff, kind)
+            nums.append(n)
+            dens.append(d)
+        return jnp.concatenate(nums, axis=1), jnp.concatenate(dens, axis=1)
+    return _binned_pallas_call(qs, cb, vb, bb, sel, need, cutoff, kind)
+
+
+def _binned_pallas_call(qs, cb, vb, bb, sel, need, cutoff, kind):
     b, nb, blk, _ = cb.shape
     nt = sel.shape[1]
     bsel = sel.shape[2]
     cp = vb.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, nt, bsel),
         in_specs=[
             pl.BlockSpec((1, TILE_Q, 3),
-                         lambda bi, ti, si, sel: (bi, ti, 0)),
+                         lambda bi, ti, si, sel, need: (bi, ti, 0)),
             pl.BlockSpec((1, 1, blk, 3),
-                         lambda bi, ti, si, sel: (bi, sel[bi, ti, si], 0, 0)),
+                         lambda bi, ti, si, sel, need:
+                         (bi, sel[bi, ti, si], 0, 0)),
             pl.BlockSpec((1, 1, blk, cp),
-                         lambda bi, ti, si, sel: (bi, sel[bi, ti, si], 0, 0)),
+                         lambda bi, ti, si, sel, need:
+                         (bi, sel[bi, ti, si], 0, 0)),
             # [b, nb, 1, blk]: Mosaic needs the last two block dims to be
             # (sublane-multiple, lane-multiple) or full — (1, blk) is full/128
             pl.BlockSpec((1, 1, 1, blk),
-                         lambda bi, ti, si, sel: (bi, sel[bi, ti, si], 0, 0)),
+                         lambda bi, ti, si, sel, need:
+                         (bi, sel[bi, ti, si], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE_Q, cp),
-                         lambda bi, ti, si, sel: (bi, ti, 0)),
+                         lambda bi, ti, si, sel, need: (bi, ti, 0)),
             pl.BlockSpec((1, TILE_Q, 1),
-                         lambda bi, ti, si, sel: (bi, ti, 0)),
+                         lambda bi, ti, si, sel, need: (bi, ti, 0)),
         ],
     )
     num, den = pl.pallas_call(
@@ -272,7 +326,7 @@ def _binned_pallas(qs, cb, vb, bb, sel, cutoff, kind):
             jax.ShapeDtypeStruct((b, nt * TILE_Q, cp), jnp.float32),
             jax.ShapeDtypeStruct((b, nt * TILE_Q, 1), jnp.float32),
         ],
-    )(sel, qs, cb, vb, bb[:, :, None, :])
+    )(sel, need, qs, cb, vb, bb[:, :, None, :])
     return num, den[..., 0]
 
 
@@ -301,14 +355,14 @@ def binned_interp_pallas(
 
     qs, qorder, cb, vb, bb, bmin, bmax, tmin, tmax = _sort_and_blocks(
         query, cand, vals, cvalid_bias, blk)
-    sel, overflow = _select_blocks(bmin, bmax, tmin, tmax, cutoff,
-                                   max_blocks)
+    sel, need, overflow = _select_blocks(bmin, bmax, tmin, tmax, cutoff,
+                                         max_blocks)
 
     def fast(_):
         if jax.default_backend() == "tpu":
-            num, den = _binned_pallas(qs, cb, vb, bb, sel, cutoff, kind)
+            num, den = _binned_pallas(qs, cb, vb, bb, sel, need, cutoff, kind)
         else:
-            num, den = _binned_xla(qs, cb, vb, bb, sel, cutoff, kind)
+            num, den = _binned_xla(qs, cb, vb, bb, sel, need, cutoff, kind)
         den = den + 1e-6
         out_sorted = num / den[..., None]
         # inverse permutation: position of each original query in qorder
