@@ -147,6 +147,23 @@ def test_fps_pallas_unrolled_schedule_identical(rng):
     np.testing.assert_array_equal(rolled, unrolled)
 
 
+def test_fps_pallas_batched_identical(rng):
+    # The batched-rows kernel (all B rows advance per round, full sublane
+    # use) must select bit-identically to the per-batch grid kernel,
+    # including penalty handling, random starts, and the unrolled schedule.
+    from tpugan_tpu.ops.pallas.fps_kernel import fps_pallas_batched
+
+    pos = jnp.asarray(rng.standard_normal((3, 300, 3)).astype(np.float32))
+    pen = jnp.where(jnp.arange(300)[None] < 250, 0.0, -1e10)
+    pen = jnp.broadcast_to(pen, (3, 300)).astype(jnp.float32)
+    start = jnp.asarray(rng.integers(0, 250, 3).astype(np.int32))
+    for ug in (1, 8):
+        a = fps_pallas(pos, 48, pen, start, unroll_group=ug)
+        b = fps_pallas_batched(pos, 48, pen, start, unroll_group=ug)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.asarray(b) < 250)
+
+
 def test_fps_pallas_respects_penalty(rng):
     pos = jnp.asarray(rng.standard_normal((1, 100, 3)).astype(np.float32) )
     pos = pos.at[:, 60:].set(999.0)

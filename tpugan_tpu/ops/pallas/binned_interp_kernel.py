@@ -204,16 +204,17 @@ def _binned_kernel(sel_ref, need_ref, q_ref, c_ref, v_ref, bias_ref,
     # the tile's true need.
     @pl.when(si < need_ref[pl.program_id(0), pl.program_id(1)])
     def _():
+        # Same cancellation-free VPU distance pass as the dense kernel
+        # (interp_kernel._interp_kernel): three lane-broadcast difference
+        # squares from a candidates-transposed [3, blk] layout beat a K=3
+        # MXU matmul (3/128 lane utilization) and agree with it bitwise
+        # only away from r ~ 0, so both kernels must use the same form.
         q = q_ref[0]                                   # [TQ, 3]
-        c = c_ref[0, 0]                                # [blk, 3]
-        q2 = jnp.sum(q * q, axis=1, keepdims=True)
-        c2 = jnp.sum(c * c, axis=1)[None]
-        cross = jax.lax.dot_general(
-            q, c, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        d2 = jnp.maximum(q2 + c2 - 2.0 * cross, 0.0) + bias_ref[0, 0, 0][None]
+        c = c_ref[0, 0]                                # [3, blk]
+        dx = q[:, 0:1] - c[0:1, :]                     # [TQ, blk]
+        dy = q[:, 1:2] - c[1:2, :]
+        dz = q[:, 2:3] - c[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz + bias_ref[0, 0, 0][None]
         w = _kernel_w(d2, cutoff, kind)                # [TQ, blk]
         num = jax.lax.dot_general(
             w, v_ref[0, 0],
@@ -226,11 +227,9 @@ def _binned_kernel(sel_ref, need_ref, q_ref, c_ref, v_ref, bias_ref,
 
 
 def _compute_d2_rows(q, c, bias):
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)
-    c2 = jnp.sum(c * c, axis=1)[None]
-    cross = jnp.einsum("qd,cd->qc", q, c,
-                       precision=jax.lax.Precision.HIGHEST)
-    return jnp.maximum(q2 + c2 - 2.0 * cross, 0.0) + bias[None]
+    # Difference-squares form, matching _binned_kernel / the dense kernel.
+    d = q[:, None, :] - c[None, :, :]
+    return jnp.sum(d * d, axis=-1) + bias[None]
 
 
 def _binned_xla(qs, cb, vb, bb, sel, need, cutoff, kind):
@@ -300,7 +299,8 @@ def _binned_pallas_call(qs, cb, vb, bb, sel, need, cutoff, kind):
         in_specs=[
             pl.BlockSpec((1, TILE_Q, 3),
                          lambda bi, ti, si, sel, need: (bi, ti, 0)),
-            pl.BlockSpec((1, 1, blk, 3),
+            # candidates transposed to [b, nb, 3, blk] (lanes hold the block)
+            pl.BlockSpec((1, 1, 3, blk),
                          lambda bi, ti, si, sel, need:
                          (bi, sel[bi, ti, si], 0, 0)),
             pl.BlockSpec((1, 1, blk, cp),
@@ -326,7 +326,7 @@ def _binned_pallas_call(qs, cb, vb, bb, sel, need, cutoff, kind):
             jax.ShapeDtypeStruct((b, nt * TILE_Q, cp), jnp.float32),
             jax.ShapeDtypeStruct((b, nt * TILE_Q, 1), jnp.float32),
         ],
-    )(sel, need, qs, cb, vb, bb[:, :, None, :])
+    )(sel, need, qs, jnp.swapaxes(cb, 2, 3), vb, bb[:, :, None, :])
     return num, den[..., 0]
 
 

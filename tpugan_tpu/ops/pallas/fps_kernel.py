@@ -19,6 +19,7 @@ the (8, 128)-divisible-or-full block rule.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +91,97 @@ def _fps_kernel(start_ref, pos_ref, penalty_ref, idx_ref, mind_ref, *, m,
         jax.lax.fori_loop(0, groups, body, 0)
 
 
+def _fps_batched_kernel(start_ref, pos_ref, penalty_ref, idx_ref, mind_ref,
+                        *, m, unroll_group=1):
+    """All batch rows advance together: each round is one [B, N] distance
+    update + per-row argmax, so the VPU's 8 sublanes serve 8 batch rows
+    instead of one (the per-batch grid variant leaves 7/8 idle and runs
+    its programs sequentially on the single TensorCore).
+
+    start_ref: [B, 1] int32 VMEM; pos_ref: [3, B, N]; penalty_ref: [B, N];
+    idx_ref (out): [B, m]; mind_ref scratch: [B, N].
+    """
+    x = pos_ref[0]                                 # [B, N]
+    y = pos_ref[1]
+    z = pos_ref[2]
+    penalty = penalty_ref[:]
+    b = x.shape[0]
+
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+
+    def record(i, sel):                            # sel [B, 1]
+        idx_ref[:] = jnp.where(iota_m == i, sel, idx_ref[:])
+
+    def dist_to(sel):                              # sel [B, 1] -> [B, N]
+        onehot = (iota_n == sel).astype(jnp.float32)
+        sx = jnp.sum(x * onehot, axis=1, keepdims=True)
+        sy = jnp.sum(y * onehot, axis=1, keepdims=True)
+        sz = jnp.sum(z * onehot, axis=1, keepdims=True)
+        return (x - sx) ** 2 + (y - sy) ** 2 + (z - sz) ** 2 + penalty
+
+    start = start_ref[:]                           # [B, 1]
+    record(0, start)
+    mind_ref[:] = dist_to(start)
+
+    def one_round(i):
+        d = mind_ref[:]
+        nxt = jnp.argmax(d, axis=1, keepdims=True).astype(jnp.int32)
+        record(i, nxt)
+        mind_ref[:] = jnp.minimum(d, dist_to(nxt))
+
+    if unroll_group <= 1:
+        def body(i, _):
+            one_round(i)
+            return 0
+
+        jax.lax.fori_loop(1, m, body, 0)
+    else:
+        # same overshoot-safe static unrolling as _fps_kernel
+        groups = -(-(m - 1) // unroll_group)
+
+        def body(g, _):
+            base = 1 + g * unroll_group
+            for u in range(unroll_group):
+                one_round(base + u)
+            return 0
+
+        jax.lax.fori_loop(0, groups, body, 0)
+
+
+def fps_pallas_batched(
+    pos: jnp.ndarray,            # [B, N, 3]
+    m: int,
+    valid_penalty: jnp.ndarray,  # [B, N] f32: 0 valid / -BIG invalid
+    start: jnp.ndarray,          # [B] int32
+    unroll_group: int | None = None,
+) -> jnp.ndarray:
+    """Batched-rows FPS: same contract as ``fps_pallas`` (bit-identical
+    selections), one kernel program over all B rows."""
+    b, n, _ = pos.shape
+    pos = jax.lax.stop_gradient(pos)
+    valid_penalty = jax.lax.stop_gradient(valid_penalty)
+    pos_t = jnp.transpose(pos, (2, 0, 1))          # [3, B, N]
+    interpret = jax.default_backend() != "tpu"
+    if unroll_group is None:
+        unroll_group = 1 if interpret else 8
+    kernel = functools.partial(_fps_batched_kernel, m=m,
+                               unroll_group=unroll_group)
+    idx = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+        interpret=interpret,
+    )(start.astype(jnp.int32)[:, None], pos_t, valid_penalty)
+    return idx
+
+
 def fps_pallas(
     pos: jnp.ndarray,            # [B, N, 3]
     m: int,
@@ -103,8 +195,21 @@ def fps_pallas(
     ``unroll_group=None`` picks 8 on TPU (amortizes scalar-core loop
     overhead) and 1 in interpret mode (keeps interpretation fast); tests
     override it to prove the unrolled schedule is round-for-round
-    identical."""
+    identical.
+
+    Dispatch: multi-row calls route to the batched-rows kernel
+    (bit-identical; measured 2.2-4.6x at the tower/sampling shapes, e.g.
+    b4 9216->1024: 3.62 -> 1.63 ms, b12: 8.85 -> 1.92 ms) except tiny-m
+    large-b shapes where the [B, N] round overhead loses (b12 2048->128:
+    0.86x). TPUGAN_FPS_PER_BATCH=1 forces the per-batch grid variant."""
     b, n, _ = pos.shape
+    if (
+        b > 1
+        and (m >= 256 or n >= 4096)
+        and b * n * 20 <= 64 * 1024 * 1024          # 5 [B, N] f32 residents
+        and os.environ.get("TPUGAN_FPS_PER_BATCH", "0") != "1"
+    ):
+        return fps_pallas_batched(pos, m, valid_penalty, start, unroll_group)
     # Index selection is non-differentiable; cut tangents so pallas_call
     # never sees a JVP trace (callers gather with the raw pos for grads).
     pos = jax.lax.stop_gradient(pos)

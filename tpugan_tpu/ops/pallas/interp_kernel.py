@@ -28,8 +28,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpugan_tpu.ops.pallas.knn_kernel import _compute_d2
-
 TILE_Q = 128
 _VAL_PAD = 8   # pad C to sublane multiple; 128-lane padding would double VMEM
 
@@ -67,7 +65,15 @@ def _kernel_w(r2, cutoff, kind):
 
 def _interp_kernel(q_ref, c_ref, v_ref, val_ref, out_ref, den_ref,
                    *, cutoff, kind):
-    d2 = _compute_d2(q_ref, c_ref, v_ref)          # [TQ, M] (+BIG invalid)
+    # d2 on the VPU from a candidates-transposed [3, M] layout: a K=3 MXU
+    # matmul runs at 3/128 lane utilization and measured ~2x the whole
+    # kernel's useful work (BENCH_NOTES round 3); three lane-broadcast
+    # difference-squares are both faster and cancellation-free.
+    q = q_ref[0]                                   # [TQ, 3]
+    dx = q[:, 0:1] - c_ref[0, 0:1, :]              # [TQ, M]
+    dy = q[:, 1:2] - c_ref[0, 1:2, :]
+    dz = q[:, 2:3] - c_ref[0, 2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz + v_ref[0, 0][None]
     w = _kernel_w(d2, cutoff, kind)                # invalid -> 0 via radius
     num = jax.lax.dot_general(
         w, val_ref[0],
@@ -87,28 +93,39 @@ def kernel_interp_pallas(
     cutoff: float,
     cvalid_bias: jnp.ndarray,  # [B, M] f32: 0 valid / BIG invalid
     kind: str = "bicubic",
+    tile_q: int | None = None,
 ):
     """Dense all-in-radius kernel interpolation.
 
     Returns (out [B, Nq, C], den [B, Nq]) where den is the raw weight sum
     (callers can detect isolated queries via den ~ 1e-6).
+
+    ``tile_q=None`` auto-picks the largest query tile whose [TQ, M]
+    distance/weight planes stay inside the VMEM budget (fewer grid steps
+    amortize per-step overhead; measured on chip, BENCH_NOTES round 3).
     """
     b, nq, d = query.shape
     m = cand.shape[1]
     c = values.shape[-1]
     cp = -(-c // _VAL_PAD) * _VAL_PAD
-    pad_q = (-nq) % TILE_Q
+    if tile_q is None:
+        # ~3 [TQ, M] f32 planes live at once; keep them under ~32 MB so the
+        # candidate table + pipelining fit the 64 MB scoped budget
+        tile_q = TILE_Q
+        while tile_q < 512 and 3 * (2 * tile_q) * m * 4 <= 32 * 1024 * 1024:
+            tile_q *= 2
+    pad_q = (-nq) % tile_q
     qp = jnp.pad(query, ((0, 0), (0, pad_q), (0, 0))) if pad_q else query
     nq_p = nq + pad_q
     vals = jnp.pad(values, ((0, 0), (0, 0), (0, cp - c))) if cp != c else values
 
     out, den = pl.pallas_call(
         functools.partial(_interp_kernel, cutoff=float(cutoff), kind=kind),
-        grid=(b, nq_p // TILE_Q),
+        grid=(b, nq_p // tile_q),
         in_specs=[
-            pl.BlockSpec((1, TILE_Q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, d, m), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -116,9 +133,9 @@ def kernel_interp_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_Q, cp), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile_q, cp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_Q, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile_q, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -130,5 +147,5 @@ def kernel_interp_pallas(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(qp, cand, cvalid_bias[:, None, :], vals)
+    )(qp, jnp.swapaxes(cand, 1, 2), cvalid_bias[:, None, :], vals)
     return out[:, :nq, :c], den[:, :nq, 0]
