@@ -207,6 +207,31 @@ def test_fluid_tempo_dis_with_velocity_features(rng):
     assert out.shape == (1, 1)
 
 
+def test_tempo_tower_stacked_fps_identity(rng, monkeypatch):
+    """The temporal towers batch their per-frame FPS rounds into one
+    stacked kernel call (_stacked_fps); selections must be bit-identical to
+    per-frame FPS, so the tower output must match exactly."""
+    import tpugan_tpu.models.discriminator as D
+
+    seq = [_cloud(rng, 2, 320) for _ in range(3)]
+    valid = [jnp.asarray(rng.random((2, 320)) > 0.2) for _ in range(3)]
+    model = FluidTempoDis(3)
+    key = jax.random.PRNGKey(0)
+    v = model.init({"params": key, "dropout": key}, seq, 0.1, None, valid,
+                   True)
+    out_stacked, _ = model.apply(v, seq, 0.1, None, valid, True,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": key})
+    monkeypatch.setattr(
+        D, "_stacked_fps", lambda sa, pos_lst, valid_lst: [None] * len(pos_lst)
+    )
+    out_plain, _ = model.apply(v, seq, 0.1, None, valid, True,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": key})
+    np.testing.assert_array_equal(np.asarray(out_stacked),
+                                  np.asarray(out_plain))
+
+
 def test_action_tempo_dis_and_cls_transfer(rng):
     seq = [_cloud(rng, 2, 320) for _ in range(3)]
     key = jax.random.PRNGKey(0)

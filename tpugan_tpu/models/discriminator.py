@@ -20,6 +20,33 @@ from tpugan_tpu.nn.layers import leaky_relu_001
 from tpugan_tpu.nn.setconv import SetConv
 
 
+def _stacked_fps(sa: SetConv, pos_lst, valid_lst):
+    """FPS center indices for a per-frame SetConv stage, computed in ONE
+    batched kernel call over the frame-stacked rows.
+
+    The temporal towers run the same SetConv on F same-shape frames; FPS is
+    the stage's sequential bottleneck (npoint dependent argmax rounds) and
+    its rows are independent, so stacking frames into the batch axis makes
+    the batched-rows kernel's sublanes serve F*B rows for one round chain —
+    bit-identical selections (fps_kernel.py), ~3x fewer sequential rounds
+    per step. Returns a list of [B, npoint] index arrays (or Nones for a
+    global-pooling stage / mismatched frame shapes, where callers fall back
+    to per-frame FPS inside SetConv)."""
+    f = len(pos_lst)
+    if sa.npoint is None or f == 1:
+        return [None] * f
+    if any(p.shape != pos_lst[0].shape for p in pos_lst):
+        return [None] * f
+    stacked = jnp.concatenate(pos_lst, axis=0)            # [F*B, N, 3]
+    valid = None
+    if sa.mask_dummy and valid_lst is not None:
+        if any(v is None for v in valid_lst):
+            return [None] * f
+        valid = jnp.concatenate(valid_lst, axis=0)        # [F*B, N]
+    idx = sa.fps_centers(stacked, valid)                  # [F*B, npoint]
+    return list(jnp.split(idx, f, axis=0))
+
+
 class _FCHead(nn.Module):
     """Spectral-normed Linear/BN/LeakyReLU/Dropout scoring head (reference
     discriminator.py:356-364, 509-516)."""
@@ -122,12 +149,19 @@ class FluidTempoDis(nn.Module):
     ) -> jnp.ndarray:
         if feat_lst is not None:
             assert len(feat_lst) == len(pos_lst)
-        feats, poss = [], []
+        c1 = _stacked_fps(self.sa1, pos_lst, valid_lst)
+        mid_p, mid_f = [], []
         for i, pos in enumerate(pos_lst):
             feat_in = feat_lst[i] if feat_lst is not None else pos
             valid = valid_lst[i] if valid_lst is not None else None
-            p, f = self.sa1(pos, feat_in, valid=valid, train=train)
-            p, f = self.sa2(p, f, train=train)
+            p, f = self.sa1(pos, feat_in, valid=valid, train=train,
+                            centers=c1[i])
+            mid_p.append(p)
+            mid_f.append(f)
+        c2 = _stacked_fps(self.sa2, mid_p, None)
+        feats, poss = [], []
+        for i in range(len(pos_lst)):
+            p, f = self.sa2(mid_p[i], mid_f[i], train=train, centers=c2[i])
             poss.append(p)
             feats.append(f)
         feature = self.flow_module(feats, poss, 20 * cutoff, train=train)
@@ -188,11 +222,18 @@ class _ActionTempoTower(nn.Module):
         self.sa_pooling = SetConv.ssg(list(self.pool_mlp), spectral_norm=sn)
 
     def __call__(self, pos_lst, cutoff, valid_lst=None, train=True):
-        feats, poss = [], []
+        c1 = _stacked_fps(self.sa1, pos_lst, valid_lst)
+        mid_p, mid_f = [], []
         for i, pos in enumerate(pos_lst):
             valid = valid_lst[i] if valid_lst is not None else None
-            p, f = self.sa1(pos, pos, valid=valid, train=train)
-            p, f = self.sa2(p, f, train=train)
+            p, f = self.sa1(pos, pos, valid=valid, train=train,
+                            centers=c1[i])
+            mid_p.append(p)
+            mid_f.append(f)
+        c2 = _stacked_fps(self.sa2, mid_p, None)
+        feats, poss = [], []
+        for i in range(len(pos_lst)):
+            p, f = self.sa2(mid_p[i], mid_f[i], train=train, centers=c2[i])
             poss.append(p)
             feats.append(f)
         feature = self.flow_module(feats, poss, cutoff, train=train)

@@ -71,6 +71,20 @@ class SetConv(nn.Module):
         return cls(mlps=[mlp], radii=[radius], nsamples=[nsample],
                    npoint=npoint, **kw)
 
+    def fps_centers(
+        self, xyz: jnp.ndarray, valid: Optional[jnp.ndarray] = None
+    ) -> Optional[jnp.ndarray]:
+        """The FPS center indices this module would select for ``xyz``
+        ([B, npoint] int32, or None for global pooling). Exposed so callers
+        that evaluate the module on several same-shape clouds (e.g. the
+        temporal towers' per-frame loop) can batch the sequential FPS
+        rounds into ONE kernel call over the stacked rows — FPS rows are
+        independent, so the selections are identical either way."""
+        if self.npoint is None:
+            return None
+        npoint = min(self.npoint, xyz.shape[1])
+        return fps(xyz, npoint, valid=valid if self.mask_dummy else None)
+
     @nn.compact
     def __call__(
         self,
@@ -78,16 +92,15 @@ class SetConv(nn.Module):
         features: Optional[jnp.ndarray] = None,  # [B, N, C]
         valid: Optional[jnp.ndarray] = None,     # [B, N] bool
         train: bool = True,
+        centers: Optional[jnp.ndarray] = None,   # [B, npoint] int32
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
         if self.npoint is not None:
             # When the cloud is already smaller than npoint (tiny test
             # shapes), FPS beyond N would only produce duplicate centers at
             # heavy sequential cost; clamp like pointnet2's effective
             # behavior.
-            npoint = min(self.npoint, xyz.shape[1])
-            centers = fps(
-                xyz, npoint, valid=valid if self.mask_dummy else None
-            )
+            if centers is None:
+                centers = self.fps_centers(xyz, valid)
             new_xyz = gather(xyz, centers)
         else:
             new_xyz = None
