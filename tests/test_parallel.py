@@ -64,6 +64,36 @@ def test_data_parallel_step_matches_single_device(rng):
         np.testing.assert_allclose(x, y, rtol=5e-2, atol=2e-3)
 
 
+def test_data_parallel_step_bitwise_deterministic(rng):
+    """Run-to-run determinism of the sharded step: two executions of the
+    SAME compiled program from the same state/batch/key must produce
+    bitwise-identical metrics and parameters (the cross-device psum has a
+    fixed reduction order under GSPMD; nothing in the step may introduce
+    nondeterminism)."""
+    batch = _batch(rng, CFG)
+    key = jax.random.PRNGKey(11)
+    mesh = make_mesh(8)
+    models, txs, state0 = init_action_state(CFG, jax.random.PRNGKey(0))
+    step = make_action_gan_step(models, txs, CFG, mesh=mesh)
+    state0 = device_put_replicated(state0, mesh)
+    sb = device_put_batch(batch, mesh)
+    rkey = jax.device_put(key, replicated(mesh))
+
+    # NB: the step donates its state buffers; re-replicate for the 2nd run
+    sa, ma = step(state0, sb, rkey)
+    models2, txs2, state1 = init_action_state(CFG, jax.random.PRNGKey(0))
+    state1 = device_put_replicated(state1, mesh)
+    sb2 = device_put_batch(batch, mesh)
+    sbit, mb = step(state1, sb2, jax.device_put(key, replicated(mesh)))
+
+    for k in ma:
+        np.testing.assert_array_equal(np.asarray(ma[k]), np.asarray(mb[k]))
+    a = jax.tree_util.tree_leaves(jax.device_get(sa.sr.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(sbit.sr.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_sharded_batch_layout(rng):
     mesh = make_mesh(8)
     batch = _batch(rng, CFG)
