@@ -60,6 +60,50 @@ def test_rollout_sequence_device_matches_host(rng):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
+def test_rollout_alignment_padding_is_transparent(rng, monkeypatch):
+    # Sentinel alignment padding (ALIGN-bucket) must not perturb real
+    # points' outputs: the network is neighborhood-local and the 999
+    # sentinels are never feature-space neighbors of real points.
+    import tpugan_tpu.eval.rollout as rollout_mod
+
+    n, r, t = 48, 4, 3
+    model = SRNet(in_feats=3, node_emb_dim=32, upsample_ratio=r)
+    pos0 = jnp.asarray(rng.standard_normal((1, n, 3)).astype(np.float32) * 0.3)
+    variables = model.init(jax.random.PRNGKey(0), pos0, pos0, False)
+    frames = [
+        (rng.standard_normal((n, 3)).astype(np.float32) * 0.3, None)
+        for _ in range(t)
+    ]
+
+    padded = rollout_sequence(model, variables, frames)      # bucket = 256
+    monkeypatch.setattr(rollout_mod, "ALIGN", 1)             # bucket = n
+    exact = rollout_sequence(model, variables, frames)
+    assert len(padded) == len(exact) == t
+    for a, b in zip(exact, padded):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_rollout_ragged_frames_within_bucket(rng):
+    # Frame point counts may vary under the first frame's bucket: one
+    # compiled program serves all of them (n_valid is a traced scalar).
+    n0, r = 40, 4
+    model = SRNet(in_feats=3, node_emb_dim=32, upsample_ratio=r)
+    pos0 = jnp.asarray(
+        rng.standard_normal((1, n0, 3)).astype(np.float32) * 0.3)
+    variables = model.init(jax.random.PRNGKey(0), pos0, pos0, False)
+    counts = [40, 36, 44]
+    frames = [
+        (rng.standard_normal((c, 3)).astype(np.float32) * 0.3, None)
+        for c in counts
+    ]
+    outs = rollout_sequence(model, variables, frames)
+    assert len(outs) == len(counts)
+    for c, o in zip(counts, outs):
+        assert c <= o.shape[0] <= c * r
+        assert np.all(np.abs(o) < 100)  # no sentinel leakage
+
+
 def test_position_metrics_identical_clouds(rng):
     x = rng.standard_normal((256, 3)).astype(np.float32)
     cd, emd, mmd = position_metrics(jnp.asarray(x), jnp.asarray(x),

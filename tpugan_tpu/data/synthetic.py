@@ -35,11 +35,16 @@ def synthetic_fluid_sequence(
     """Yield (pos, vel) frames of a falling, swirling particle blob."""
     rng = np.random.default_rng(seed)
     n_blobs = int(rng.integers(1, 4))
+    # blob sizes sum exactly to num_particles (remainder on the last blob)
+    # so callers get the N they asked for — an off-by-a-few N silently
+    # de-aligns the Pallas tile layouts downstream
+    counts = [num_particles // n_blobs] * n_blobs
+    counts[-1] += num_particles - sum(counts)
     parts = []
-    for _ in range(n_blobs):
+    for nb in counts:
         c = rng.uniform(-0.4 * box, 0.4 * box, 3)
         c[1] = rng.uniform(0.0, 0.6 * box)
-        parts.append(_blob(rng, num_particles // n_blobs, c, rng.uniform(0.15, 0.3) * box))
+        parts.append(_blob(rng, nb, c, rng.uniform(0.15, 0.3) * box))
     pos = np.concatenate(parts)[:num_particles]
     vel = np.tile(rng.uniform(-0.5, 0.5, (1, 3)).astype(np.float32), (pos.shape[0], 1))
 

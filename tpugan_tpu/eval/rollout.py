@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpugan_tpu import PAD_SENTINEL
 from tpugan_tpu.config import DT
 from tpugan_tpu.models.generator import (
     RolloutMaskState,
@@ -26,14 +27,28 @@ from tpugan_tpu.models.generator import (
     rollout_mask_update,
 )
 
+# Pad input clouds up to a multiple of this before the forward: the fused
+# EdgeConv/kNN Pallas kernels tile on 256-point boundaries, and a single
+# off-by-one N (e.g. 10239) doubles the frame time on padded slow paths
+# (BENCH_NOTES.md 2026-08-18). Pad points sit at the 999 sentinel, far
+# outside any normalized fluid cloud, so exact (and bf16) kNN never selects
+# them as neighbors of real points — the network is purely neighborhood-
+# local (no global pooling), hence real outputs are bitwise unaffected.
+ALIGN = 256
+
 
 def make_rollout_step(model: SRNet, use_vel: bool):
-    """Returns jitted step(variables, state, pos, vel) ->
-    (padded_pos, valid, new_state)."""
+    """Returns jitted step(variables, state, pos, vel, n_valid) ->
+    (padded_pos, valid, new_state). ``pos``/``vel`` may carry sentinel pad
+    rows past ``n_valid`` (alignment padding); their output slots are
+    reported invalid."""
 
-    def step(variables, mask_state, pos, vel):
-        centroid = jnp.mean(pos, axis=1, keepdims=True)
-        pos_n = pos - centroid
+    def step(variables, mask_state, pos, vel, n_valid):
+        n = pos.shape[1]
+        real = (jnp.arange(n) < n_valid)[None, :, None]       # [1, N, 1]
+        centroid = (jnp.sum(jnp.where(real, pos, 0.0), axis=1, keepdims=True)
+                    / n_valid.astype(pos.dtype))
+        pos_n = jnp.where(real, pos - centroid, pos)
         if use_vel:
             feature = jnp.concatenate([pos_n, vel * DT], axis=-1)
         else:
@@ -44,24 +59,52 @@ def make_rollout_step(model: SRNet, use_vel: bool):
         _, padded, valid = expand_pos_with_masking(
             pos_n, edge, mean_mask, model.upsample_ratio, model.epsilon
         )
+        # expansion layout: slots i*r .. i*r+r-1 belong to input point i,
+        # so pad rows occupy exactly the slots >= n_valid * r
+        valid = valid & (jnp.arange(valid.shape[1])[None]
+                         < n_valid * model.upsample_ratio)
         out = jnp.where(valid[..., None], padded + centroid, padded)
         return out, valid, mask_state
 
     return jax.jit(step)
 
 
-def make_rollout_scan(model: SRNet, use_vel: bool, chunk: int):
+def _pad_frame(pos_b: jnp.ndarray, vel_b: jnp.ndarray, bucket: int):
+    """Sentinel-pad a [1, N, 3] frame up to ``bucket`` points."""
+    n = pos_b.shape[1]
+    if n == bucket:
+        return pos_b, vel_b
+    pad = bucket - n
+    pos_b = jnp.concatenate(
+        [pos_b, jnp.full((1, pad, 3), PAD_SENTINEL, pos_b.dtype)], axis=1)
+    vel_b = jnp.concatenate(
+        [vel_b, jnp.zeros((1, pad, 3), vel_b.dtype)], axis=1)
+    return pos_b, vel_b
+
+
+def make_rollout_scan(model: SRNet, use_vel: bool, chunk: int,
+                      n_real: Optional[int] = None):
     """Chunked device-resident rollout: one jitted lax.scan over ``chunk``
     frames. Frames stay on device between steps; the only host traffic is
-    one H2D of the chunk's inputs and one D2H of its outputs."""
+    one H2D of the chunk's inputs and one D2H of its outputs.
+
+    When ``n_real`` is given, rows past it are alignment-padding sentinels:
+    the centroid uses only real rows and the emitted outputs/valids are
+    statically sliced to the ``n_real * r`` real slots."""
 
     def scan_fn(variables, mask_state, pos_c, vel_c):
         # pos_c/vel_c: [chunk, N, 3]
+        r = model.upsample_ratio
+
         def body(carry, xs):
             mask_state = carry
             pos, vel = xs
-            centroid = jnp.mean(pos, axis=0, keepdims=True)
+            real_pos = pos if n_real is None else pos[:n_real]
+            centroid = jnp.mean(real_pos, axis=0, keepdims=True)
             pos_n = (pos - centroid)[None]
+            if n_real is not None:
+                # keep sentinels parked at the sentinel, not sentinel-mean
+                pos_n = pos_n.at[:, n_real:].set(PAD_SENTINEL)
             if use_vel:
                 feature = jnp.concatenate([pos_n, vel[None] * DT], axis=-1)
             else:
@@ -73,6 +116,10 @@ def make_rollout_scan(model: SRNet, use_vel: bool, chunk: int):
                 pos_n, edge, mean_mask, model.upsample_ratio, model.epsilon
             )
             out = jnp.where(valid[..., None], padded + centroid[None], padded)
+            if n_real is not None:
+                # layout: slots i*r..i*r+r-1 belong to point i — pad rows
+                # occupy exactly the tail slots
+                out, valid = out[:, :n_real * r], valid[:, :n_real * r]
             return mask_state, (out[0], valid[0])
 
         mask_state, (outs, valids) = jax.lax.scan(
@@ -107,8 +154,17 @@ def rollout_sequence_device(
     if pad:
         pos_seq = np.concatenate([pos_seq, pos_seq[-1:].repeat(pad, 0)], 0)
         vel_seq = np.concatenate([vel_seq, vel_seq[-1:].repeat(pad, 0)], 0)
-    scan_fn = make_rollout_scan(model, use_vel, chunk)
-    mask_state = RolloutMaskState.create(1, n, history)
+    n_pad = (-n) % ALIGN
+    if n_pad:
+        pos_seq = np.concatenate(
+            [pos_seq, np.full((pos_seq.shape[0], n_pad, 3), PAD_SENTINEL,
+                              np.float32)], axis=1)
+        vel_seq = np.concatenate(
+            [vel_seq, np.zeros((vel_seq.shape[0], n_pad, 3), np.float32)],
+            axis=1)
+    scan_fn = make_rollout_scan(model, use_vel, chunk,
+                                n_real=n if n_pad else None)
+    mask_state = RolloutMaskState.create(1, n + n_pad, history)
 
     pending: List[Tuple] = []
     outputs: List[np.ndarray] = []
@@ -151,11 +207,18 @@ def rollout_sequence(
     otherwise serialize the rollout; jax dispatch is async, and the mask
     ring-buffer state lives on device between steps).
 
+    Frames are sentinel-padded up to a shared bucket (first frame's count
+    rounded up to ``ALIGN``): one compiled program serves every frame, the
+    Pallas tile layouts stay aligned, and mildly ragged sequences (counts
+    varying within the bucket) are supported — the 25-frame mask ring is
+    shaped by the bucket, so a frame larger than it raises.
+
     Returns a list of variable-size numpy arrays (valid points only),
     denormalized back to world space like the demo loop.
     """
     step = make_rollout_step(model, use_vel)
     mask_state = None
+    bucket = None
     pending: List[Tuple] = []
     outputs: List[Tuple[np.ndarray, np.ndarray]] = []
 
@@ -171,9 +234,17 @@ def rollout_sequence(
             if vel is not None
             else jnp.zeros_like(pos_b)
         )
-        if mask_state is None:
-            mask_state = RolloutMaskState.create(1, pos_b.shape[1], history)
-        padded, valid, mask_state = step(variables, mask_state, pos_b, vel_b)
+        n_valid = pos_b.shape[1]
+        if bucket is None:
+            bucket = -(-n_valid // ALIGN) * ALIGN
+            mask_state = RolloutMaskState.create(1, bucket, history)
+        if n_valid > bucket:
+            raise ValueError(
+                f"frame with {n_valid} points exceeds the rollout bucket "
+                f"{bucket} set by the first frame")
+        pos_b, vel_b = _pad_frame(pos_b, vel_b, bucket)
+        padded, valid, mask_state = step(variables, mask_state, pos_b, vel_b,
+                                         jnp.int32(n_valid))
         # start the D2H copies immediately so they overlap later frames'
         # compute; the blocking np.asarray in drain() then finds the bytes
         # already on host instead of serializing a fetch per frame
