@@ -10,6 +10,10 @@ unit tests bypass.
 import os
 import subprocess
 import sys
+import pytest
+
+# compile-heavy / subprocess tier — deselect with -m 'not slow' for the quick unit run
+pytestmark = pytest.mark.slow
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

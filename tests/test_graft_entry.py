@@ -15,6 +15,10 @@ import jax
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __graft_entry__ as graft
+import pytest
+
+# compile-heavy / subprocess tier — deselect with -m 'not slow' for the quick unit run
+pytestmark = pytest.mark.slow
 
 
 def test_force_cpu_mesh_in_process():

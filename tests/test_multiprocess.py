@@ -14,6 +14,12 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# compile-heavy / subprocess tier — deselect with -m 'not slow' for the
+# quick unit run
+pytestmark = pytest.mark.slow
+
 _WORKER = r"""
 import os, sys
 import numpy as np

@@ -12,6 +12,9 @@ from tpugan_tpu.parallel import batch_sharded, make_mesh, replicated
 from tpugan_tpu.parallel.mesh import device_put_batch, device_put_replicated
 from tpugan_tpu.train import init_action_state, make_action_gan_step
 
+# compile-heavy / subprocess tier — deselect with -m 'not slow' for the quick unit run
+pytestmark = pytest.mark.slow
+
 CFG = ActionTrainConfig(
     batch_size=8, num_points=64, fps_ratio=0.125, upsample_ratio=4,
     node_embedding=32,

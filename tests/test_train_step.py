@@ -19,6 +19,10 @@ from tpugan_tpu.train import (
     save_checkpoint,
 )
 
+# compile-heavy tier (jitted GAN-step graphs) — deselect with -m 'not slow'
+# for the quick unit run
+pytestmark = pytest.mark.slow
+
 TINY_FLUID = FluidTrainConfig(
     batch_size=2, patch_size=128, fps_ratio=0.125, upsample_ratio=8,
     node_embedding=32,
