@@ -171,6 +171,38 @@ def test_rollout_mask_history():
     np.testing.assert_allclose(np.asarray(mean)[0], 0.0)
 
 
+def test_rollout_mask_history_valid_tracking():
+    """Ragged sequences: rows that were sentinel padding in an earlier
+    frame must not pollute the keep/prune gate once a larger frame makes
+    them real (ADVICE round 3)."""
+    st = RolloutMaskState.create(1, 4, history=3, track_valid=True)
+    # frame 1: rows 0-1 real (mask 0.6); rows 2-3 are padding whose network
+    # mask came out below the clamp threshold (writes 0 without tracking)
+    m1 = jnp.asarray([[0.6, 0.6, 0.1, 0.1]])
+    v1 = jnp.asarray([[True, True, False, False]])
+    mean, st = rollout_mask_update(st, m1, v1)
+    np.testing.assert_allclose(np.asarray(mean)[0], [0.6, 0.6, 0.0, 0.0])
+    # frame 2: all rows real with mask 0.6 — rows 2-3 must read 0.6 (their
+    # only real observation), not (0 + 0.6)/2 = 0.3
+    m2 = jnp.full((1, 4), 0.6)
+    v2 = jnp.ones((1, 4), bool)
+    mean, st = rollout_mask_update(st, m2, v2)
+    np.testing.assert_allclose(np.asarray(mean)[0], [0.6, 0.6, 0.6, 0.6])
+
+
+def test_rollout_mask_history_valid_tracking_uniform_bitwise():
+    """For uniform (all-valid) sequences the tracked ring matches the
+    plain ring bitwise — serving paths may enable tracking unconditionally."""
+    st_a = RolloutMaskState.create(1, 5, history=3)
+    st_b = RolloutMaskState.create(1, 5, history=3, track_valid=True)
+    rng = np.random.default_rng(0)
+    for _ in range(7):
+        m = jnp.asarray(rng.random((1, 5)), jnp.float32)
+        mean_a, st_a = rollout_mask_update(st_a, m)
+        mean_b, st_b = rollout_mask_update(st_b, m)
+        np.testing.assert_array_equal(np.asarray(mean_a), np.asarray(mean_b))
+
+
 @pytest.mark.parametrize("cls,needs_seq", [
     (FluidSpatialDis, False),
     (ActionSpatialDis, False),
@@ -230,6 +262,37 @@ def test_tempo_tower_stacked_fps_identity(rng, monkeypatch):
                                rngs={"dropout": key})
     np.testing.assert_array_equal(np.asarray(out_stacked),
                                   np.asarray(out_plain))
+
+
+def test_action_tempo_tower_stacked_fps_identity(rng, monkeypatch):
+    """Same _stacked_fps bit-identity pin for the ACTION tempo tower and
+    the cls-transfer path (ADVICE round 3: only the fluid tower was
+    pinned, so a divergence in _ActionTempoTower's deferred sa2 loop
+    would have gone unnoticed)."""
+    import tpugan_tpu.models.discriminator as D
+
+    seq = [_cloud(rng, 2, 320) for _ in range(3)]
+    key = jax.random.PRNGKey(0)
+
+    dis = ActionTempoDis(3)
+    vd = dis.init({"params": key, "dropout": key}, seq, 2.0, None, True)
+    cls = ActionCls(3)
+    vc = cls.init({"params": key, "dropout": key}, seq, 2.0, True)
+
+    def run_both():
+        out_d, _ = dis.apply(vd, seq, 2.0, None, True,
+                             mutable=["batch_stats"], rngs={"dropout": key})
+        out_c, _ = cls.apply(vc, seq, 2.0, True,
+                             mutable=["batch_stats"], rngs={"dropout": key})
+        return np.asarray(out_d), np.asarray(out_c)
+
+    stacked_d, stacked_c = run_both()
+    monkeypatch.setattr(
+        D, "_stacked_fps", lambda sa, pos_lst, valid_lst: [None] * len(pos_lst)
+    )
+    plain_d, plain_c = run_both()
+    np.testing.assert_array_equal(stacked_d, plain_d)
+    np.testing.assert_array_equal(stacked_c, plain_c)
 
 
 def test_action_tempo_dis_and_cls_transfer(rng):

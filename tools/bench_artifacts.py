@@ -120,10 +120,17 @@ def bench_rollout_device(num_frames=800, particles=10240):
         path = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)[0]
         pd = jax.profiler.ProfileData.from_serialized_xspace(
             open(path, "rb").read())
+        # match the scan program by its jitted name — a generic
+        # ('jit_' and large) filter would average in any other big
+        # program that lands in the trace window (ADVICE round 3)
         spans = [ev.duration_ns
                  for plane in pd.planes if "TPU" in plane.name
                  for line in plane.lines for ev in line.events
-                 if "jit_" in ev.name and ev.duration_ns > 5e7]
+                 if "scan_fn" in ev.name and ev.duration_ns > 5e7]
+        if len(spans) != len(chunks):
+            raise RuntimeError(
+                f"expected {len(chunks)} scan_fn spans in the trace, "
+                f"found {len(spans)} — refusing a skewed rate")
         # each span is one chunk-frame scan program
         ms_per_frame = float(np.mean(spans)) / 1e6 / chunk
         result["device_ms_per_frame"] = round(ms_per_frame, 3)

@@ -36,6 +36,12 @@ from tpugan_tpu.models.generator import (
 # local (no global pooling), hence real outputs are bitwise unaffected.
 ALIGN = 256
 
+# Largest kNN-graph k used anywhere in the generator (EdgeConv k=20,
+# upsampler EdgeConvs k=12/k=4; models/generator.py) — frames with fewer
+# real points than this cannot be alignment-padded without sentinel
+# neighbors leaking into real points' edge features.
+_MAX_GRAPH_K = 20
+
 
 def make_rollout_step(model: SRNet, use_vel: bool):
     """Returns jitted step(variables, state, pos, vel, n_valid) ->
@@ -55,7 +61,11 @@ def make_rollout_step(model: SRNet, use_vel: bool):
             feature = pos_n
         edge, mask = model.apply(variables, feature, pos_n, False,
                                  method=model.heads)
-        mean_mask, mask_state = rollout_mask_update(mask_state, mask)
+        # ring write masked to REAL rows: a row that is padding now may
+        # become real in a later (larger) frame, and its history must not
+        # contain sentinel-derived mask values (ADVICE round 3)
+        mean_mask, mask_state = rollout_mask_update(mask_state, mask,
+                                                    valid=real[..., 0])
         _, padded, valid = expand_pos_with_masking(
             pos_n, edge, mean_mask, model.upsample_ratio, model.epsilon
         )
@@ -237,11 +247,21 @@ def rollout_sequence(
         n_valid = pos_b.shape[1]
         if bucket is None:
             bucket = -(-n_valid // ALIGN) * ALIGN
-            mask_state = RolloutMaskState.create(1, bucket, history)
+            mask_state = RolloutMaskState.create(1, bucket, history,
+                                                 track_valid=True)
         if n_valid > bucket:
             raise ValueError(
                 f"frame with {n_valid} points exceeds the rollout bucket "
                 f"{bucket} set by the first frame")
+        if n_valid <= _MAX_GRAPH_K and bucket > n_valid:
+            # with fewer real points than the EdgeConv k, alignment padding
+            # would force 999-sentinels into real points' neighbor sets and
+            # their huge (neighbor - center) edge features would corrupt
+            # the outputs (ADVICE round 3) — refuse rather than degrade
+            raise ValueError(
+                f"frame with {n_valid} points <= the generator's max graph "
+                f"k ({_MAX_GRAPH_K}): padded rollout would leak sentinel "
+                f"neighbors into real points; feed frames with more points")
         pos_b, vel_b = _pad_frame(pos_b, vel_b, bucket)
         padded, valid, mask_state = step(variables, mask_state, pos_b, vel_b,
                                          jnp.int32(n_valid))

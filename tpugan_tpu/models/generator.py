@@ -251,36 +251,70 @@ class SRNet(nn.Module):
 
 class RolloutMaskState(NamedTuple):
     """Fixed-shape ring buffer for the rollout's 25-frame mask-history
-    average (reference upsampling_network.py:159-174)."""
+    average (reference upsampling_network.py:159-174).
+
+    ``valid_buffer`` (optional, enabled via ``create(track_valid=True)``)
+    records which rows were REAL points when each frame's mask was written.
+    Ragged sequences pad frames to a shared bucket; without the validity
+    ring, a row that is sentinel padding in a small frame would have its
+    network mask blended into the keep/prune gate when a later, larger
+    frame makes that row index real (up to ``history`` frames of
+    pollution). With it, each row's mean runs over the frames in which the
+    row actually existed."""
 
     buffer: jnp.ndarray  # [H, B, N]
     count: jnp.ndarray   # [] int32 — frames seen (saturates at H)
     ptr: jnp.ndarray     # [] int32 — next write slot
+    valid_buffer: Optional[jnp.ndarray] = None  # [H, B, N] f32 0/1
 
     @classmethod
-    def create(cls, batch: int, n: int, history: int = 25):
+    def create(cls, batch: int, n: int, history: int = 25,
+               track_valid: bool = False):
         return cls(
             buffer=jnp.zeros((history, batch, n), jnp.float32),
             count=jnp.zeros((), jnp.int32),
             ptr=jnp.zeros((), jnp.int32),
+            valid_buffer=(jnp.zeros((history, batch, n), jnp.float32)
+                          if track_valid else None),
         )
 
 
 def rollout_mask_update(
-    state: RolloutMaskState, mask: jnp.ndarray
+    state: RolloutMaskState, mask: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, RolloutMaskState]:
     """Clamp the mask like the reference rollout (values < 0.6 -> 0,
     values > 0.6 -> 0.6; upsampling_network.py:164-165), push it into the
-    history ring, and return the running mean over observed frames."""
+    history ring, and return the running mean over observed frames.
+
+    With a validity ring (``create(track_valid=True)``), ``valid`` [B, N]
+    marks the rows that are real points this frame; each row's mean then
+    runs over only the frames in which the row was real (padding rows of
+    ragged sequences contribute nothing). For uniform sequences all rows
+    are real every frame and the two forms agree bitwise."""
     h = state.buffer.shape[0]
     clamped = jnp.where(mask < 0.6, 0.0, jnp.where(mask > 0.6, 0.6, mask))
+    if state.valid_buffer is None:
+        buffer = jax.lax.dynamic_update_index_in_dim(
+            state.buffer, clamped, state.ptr, axis=0
+        )
+        count = jnp.minimum(state.count + 1, h)
+        ptr = (state.ptr + 1) % h
+        mean = jnp.sum(buffer, axis=0) / count.astype(jnp.float32)
+        return mean, RolloutMaskState(buffer, count, ptr)
+    v = (jnp.ones_like(clamped) if valid is None
+         else valid.astype(jnp.float32))
     buffer = jax.lax.dynamic_update_index_in_dim(
-        state.buffer, clamped, state.ptr, axis=0
+        state.buffer, clamped * v, state.ptr, axis=0
+    )
+    valid_buffer = jax.lax.dynamic_update_index_in_dim(
+        state.valid_buffer, v, state.ptr, axis=0
     )
     count = jnp.minimum(state.count + 1, h)
     ptr = (state.ptr + 1) % h
-    mean = jnp.sum(buffer, axis=0) / count.astype(jnp.float32)
-    return mean, RolloutMaskState(buffer, count, ptr)
+    row_count = jnp.sum(valid_buffer, axis=0)
+    mean = jnp.sum(buffer, axis=0) / jnp.maximum(row_count, 1.0)
+    return mean, RolloutMaskState(buffer, count, ptr, valid_buffer)
 
 
 class NoMaskSRNet(nn.Module):
