@@ -55,3 +55,60 @@ def test_eval_tempo_feat_cli_smoke(tmp_path):
     # the eval writes a log + accuracy line
     assert any("acc" in f.lower() or f.endswith(".log") or True
                for f in os.listdir(tmp_path))
+
+
+def test_rollout_cli_smoke(tmp_path):
+    out = _run([
+        "tpugan_tpu.cli.rollout", "--synthetic",
+        "--synthetic_particles", "512", "--num_frames", "3",
+        "--node_embedding", "32", "--out_dir", str(tmp_path),
+    ])
+    assert any(f.endswith(".npy") for f in os.listdir(tmp_path)), out
+
+
+def test_eval_fluid_cli_smoke(tmp_path):
+    import json
+
+    out = _run([
+        "tpugan_tpu.cli.eval_fluid", "--num_samples", "1",
+        "--patch_size", "512", "--node_embedding", "32",
+        "--sequence_length", "4", "--emd_iters", "10",
+    ])
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    metrics = json.loads(line)
+    for key in ("chamfer_norm", "emd", "free_surface_count_diff",
+                "free_surface_pred_count", "keep_rate"):
+        assert key in metrics, key
+
+
+def test_bench_metrics_cli_smoke(tmp_path):
+    out = _run([
+        "tpugan_tpu.cli.bench_metrics", "--batch", "1",
+        "--points", "1024", "--emd_points", "1024",
+        "--reps", "1", "--emd_iters", "5",
+    ])
+    assert "chamfer" in out.lower() or "cd" in out.lower(), out
+
+
+def test_sim_fluid_sequence_cli_smoke(tmp_path):
+    _run([
+        "tpugan_tpu.cli.sim_fluid_sequence", "--synthetic",
+        "--train_seeds", "1", "--test_seeds", "1",
+        "--num_particles", "400", "--num_frames", "3",
+        "--out_root", str(tmp_path),
+    ])
+    # synthetic sim writes case directories with npz frames
+    npz = [p for p in tmp_path.rglob("*.npz")]
+    assert npz, list(tmp_path.rglob("*"))
+
+
+def test_train_fluid_preset_cli_smoke(tmp_path):
+    # preset defaults apply, explicit flags still win (tiny override run)
+    out = _run([
+        "tpugan_tpu.cli.train_fluid", "--preset", "train_novel",
+        "--synthetic", "--iters", "2", "--ckpt_every", "2",
+        "--batch_size", "2", "--patch_size", "512",
+        "--log_dir", str(tmp_path),
+    ])
+    assert "iters=2" in out and "ckpt_every=2" in out, out[-2000:]
+    assert "dump_visualization=True" in out, out[-2000:]

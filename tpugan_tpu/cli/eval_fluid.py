@@ -55,6 +55,7 @@ def main():
     from tpugan_tpu.eval.analysis import (
         cycle_consistency,
         free_surface_particle_count_diff,
+        free_surface_particle_counts,
         position_metrics,
     )
     from tpugan_tpu.models import SRNet
@@ -103,6 +104,7 @@ def main():
         return expanded
 
     cds, emds, mmds, fs_diffs = [], [], [], []
+    fs_preds, fs_gts, keep_rates, pred_counts, gt_counts = [], [], [], [], []
     cyc_cds, cyc_emds = [], []
     for i in range(min(opt.num_samples, len(ds))):
         item = ds[i]
@@ -133,6 +135,14 @@ def main():
         fs_diffs.append(free_surface_particle_count_diff(
             pred, np.asarray(high[1]), radius=0.025
         ))
+        fp, fg = free_surface_particle_counts(pred, np.asarray(high[1]),
+                                              radius=0.025)
+        fs_preds.append(fp)
+        fs_gts.append(fg)
+        keep_rates.append(pred.shape[0]
+                          / (low.shape[1] * opt.upsample_ratio))
+        pred_counts.append(pred.shape[0])
+        gt_counts.append(int(high.shape[1]))
 
         adv = jnp.asarray(item["highres_vel"][0] * DT)[None]
         ccd, cemd, _ = cycle_consistency(
@@ -150,6 +160,11 @@ def main():
         "emd": float(np.mean(emds)),
         "mmd": float(np.mean(mmds)),
         "free_surface_count_diff": float(np.mean(fs_diffs)),
+        "free_surface_pred_count": float(np.mean(fs_preds)),
+        "free_surface_gt_count": float(np.mean(fs_gts)),
+        "keep_rate": float(np.mean(keep_rates)),
+        "pred_point_count": float(np.mean(pred_counts)),
+        "gt_point_count": float(np.mean(gt_counts)),
         "cycle_chamfer": float(np.mean(cyc_cds)),
         "cycle_emd": float(np.mean(cyc_emds)),
         "samples": len(cds),

@@ -46,7 +46,9 @@ def main():
     p.add_argument("--num_points", type=int, default=2048)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--seed", type=int, default=0)
-    opt = p.parse_args()
+    from tpugan_tpu.config import parse_with_preset
+
+    opt = parse_with_preset(p, "eval_tempo_feat")
 
     from tpugan_tpu.config import ActionTrainConfig
     from tpugan_tpu.data import MSRAction3DDataset, action_batch_iterator

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 
-def get_arguments(parser: argparse.ArgumentParser):
+def get_arguments(parser: argparse.ArgumentParser, argv=None):
     add = parser.add_argument
     add("--lr", type=float, default=3e-4)
     add("--resume", action="store_true")
@@ -68,7 +68,9 @@ def get_arguments(parser: argparse.ArgumentParser):
         help="capture a jax.profiler device trace of steps 10-15 into "
              "<log_dir>/profile")
     add("--seed", type=int, default=1)
-    return parser.parse_args()
+    from tpugan_tpu.config import parse_with_preset
+
+    return parse_with_preset(parser, "train_fluid", argv)
 
 
 

@@ -132,3 +132,50 @@ class EvalTempoFeatConfig:
 
 def replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Blessed-config presets — the reference pins its training/eval recipes in
+# shell scripts (train_fluid/train_vel/train.sh, train_fluid/train_novel/
+# train.sh, train_action/train_dir/train.sh, train_action/eval_dis/run.sh).
+# Each preset below is that script's flag set, applied as argparse DEFAULTS
+# so explicit CLI flags still win. scripts/*.sh wrap these one-to-one.
+# ---------------------------------------------------------------------------
+
+PRESETS = {
+    "train_fluid": {
+        # train_fluid/train_vel/train.sh
+        "train_vel": dict(ckpt_every=10000, iters=80000,
+                          dump_visualization=True, batch_size=4,
+                          use_vel=True, in_node_feats=6),
+        # train_fluid/train_novel/train.sh
+        "train_novel": dict(ckpt_every=10000, iters=80000,
+                            dump_visualization=True, batch_size=4),
+    },
+    "train_action": {
+        # train_action/train_dir/train.sh
+        "train_dir": dict(ckpt_every=10000, iters=100000, lr=3e-4,
+                          batch_size=4, dump_visualization=True),
+    },
+    "eval_tempo_feat": {
+        # train_action/eval_dis/run.sh (data/ckpt paths are environment-
+        # specific there; the recipe itself is the default hyperparameters)
+        "eval_dis": dict(lr=1e-3, epochs=60, batch_size=24, cutoff=2.0,
+                         frames_per_clip=3),
+    },
+}
+
+
+def parse_with_preset(parser, cli: str, argv=None):
+    """Parse args honoring ``--preset``: preset values become parser
+    defaults (reference shell-script flag sets, PRESETS above), so flags
+    given explicitly on the command line still override them."""
+    table = PRESETS[cli]
+    parser.add_argument("--preset", choices=sorted(table), default=None,
+                        help="blessed reference config (flag values from "
+                             "the reference's shell scripts); explicit "
+                             "flags override preset values")
+    pre, _ = parser.parse_known_args(argv)
+    if pre.preset:
+        parser.set_defaults(**table[pre.preset])
+    return parser.parse_args(argv)
