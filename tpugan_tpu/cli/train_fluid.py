@@ -28,6 +28,8 @@ def get_arguments(parser: argparse.ArgumentParser, argv=None):
     add("--iters", type=int, default=80000)
     add("--log_dir", type=str, default="./")
     add("--ckpt_every", type=int, default=5000)
+    add("--ckpt_keep", type=int, default=5,
+        help="max rotated checkpoints to retain (besides best_model)")
     add("--in_node_feats", type=int, default=3)
     add("--node_embedding", type=int, default=128)
     add("--R", type=float, default=0.10)
@@ -234,7 +236,7 @@ def main():
             ckpt_future = save_checkpoint_async(
                 state,
                 os.path.join(checkpoint_dir, f"tpugan_checkpoint{n_iter}.ckpt"),
-                max_keep=5,
+                max_keep=opt.ckpt_keep,
             )
             if test_batches is not None:
                 test_cd = _test_eval(
