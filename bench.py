@@ -34,8 +34,13 @@ Chamfer < 5e-3 on the benchmark cloud), falling back down the chain:
      the reference's per-layer feature-space rebuild;
   2. bf16 with reference-exact per-layer dynamic graphs;
   3. exact f32.
-Trained-checkpoint parity for the serving modes is recorded in
-BENCH_NOTES.md round 3.
+The gate runs on TRAINED weights whenever a checkpoint is available —
+``TPUGAN_BENCH_CKPT=<file|dir>`` or, failing that, the newest
+``runs/*/model_ckpt`` — because a trained mask head can flip far more
+keep decisions under the approximations than a random-init one (VERDICT
+r3 missing #1); random init is the last resort and is labeled as such.
+The full per-mode trained-checkpoint parity table lives in BENCH_NOTES.md
+round 4.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -87,6 +92,40 @@ def _trace_frame_ms(jax) -> float:
     return mean_dur / 1e6
 
 
+def _find_checkpoint() -> str | None:
+    """TPUGAN_BENCH_CKPT (file or model_ckpt dir), else the newest
+    runs/*/model_ckpt with a latest_checkpoint.txt pointer."""
+    path = os.environ.get("TPUGAN_BENCH_CKPT")
+    cands = ([path] if path else
+             sorted(glob.glob("runs/*/model_ckpt"), key=os.path.getmtime,
+                    reverse=True))
+    for c in cands:
+        if os.path.isdir(c):
+            pointer = os.path.join(c, "latest_checkpoint.txt")
+            if not os.path.exists(pointer):
+                continue
+            with open(pointer) as fh:
+                c = os.path.join(os.path.dirname(pointer),
+                                 fh.readline().strip())
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def _load_generator_params(path: str, template):
+    """Restore sr_net params from a training checkpoint; returns
+    (params, in_feats) — in_feats read off the first EdgeConv kernel so the
+    bench builds a matching model (the 80k fluid run trains in_feats=6)."""
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        restored = serialization.msgpack_restore(fh.read())
+    raw = restored["sr_net"]["params"]
+    in_feats = int(raw["feature_extractor"]["EdgeConv_0"]["ConvLayer_0"]
+                      ["Dense_0"]["kernel"].shape[0])
+    return raw, in_feats
+
+
 def main() -> None:
     os.makedirs(os.path.expanduser("~/.cache/tpugan_jax"), exist_ok=True)
     import jax
@@ -98,15 +137,42 @@ def main() -> None:
 
     from tpugan_tpu.models import SRNet
 
-    f32_model = SRNet(in_feats=3, node_emb_dim=128,
+    ckpt = _find_checkpoint()
+    raw_params, in_feats = None, 3
+    if ckpt:
+        try:
+            raw_params, in_feats = _load_generator_params(ckpt, None)
+            print(f"# quality gate on trained checkpoint: {ckpt} "
+                  f"(in_feats={in_feats})")
+        except Exception as e:
+            print(f"# checkpoint {ckpt} unusable ({e}); random-init gate")
+            raw_params, in_feats = None, 3
+    if raw_params is None:
+        print("# no trained checkpoint found: quality gate on random init")
+
+    f32_model = SRNet(in_feats=in_feats, node_emb_dim=128,
                       upsample_ratio=UPSAMPLE_RATIO)
     rng = np.random.default_rng(0)
     pos = jnp.asarray(
         rng.standard_normal((1, N_POINTS, 3)).astype(np.float32) * 0.3
     )
-    variables = jax.jit(lambda k, p: f32_model.init(k, p, p, False))(
+
+    def make_feat(p):
+        # in_feats=6 checkpoints (use_vel runs) consume pos || vel * DT;
+        # a zero-velocity frame is a legitimate serving input
+        if in_feats == 3:
+            return p
+        return jnp.concatenate([p, jnp.zeros_like(p)], axis=-1)
+
+    variables = jax.jit(lambda k, p: f32_model.init(k, make_feat(p), p,
+                                                    False))(
         jax.random.PRNGKey(0), pos
     )
+    if raw_params is not None:
+        from flax import serialization
+
+        variables = {"params": serialization.from_state_dict(
+            variables["params"], raw_params)}
 
     # quality gate: each candidate serving mode's predictions must track
     # the exact f32 dynamic-graph forward to bf16 resolution on the
@@ -115,7 +181,7 @@ def main() -> None:
     from tpugan_tpu.ops.metrics import chamfer
 
     def fwd(m):
-        return jax.jit(lambda v, p: m.apply(v, p, p, False)[0])(
+        return jax.jit(lambda v, p: m.apply(v, make_feat(p), p, False)[0])(
             variables, pos
         )
 
@@ -123,11 +189,11 @@ def main() -> None:
     scale = float(jnp.mean(jnp.sum(pos ** 2, -1)))
 
     candidates = [
-        ("bf16+static-graph", SRNet(in_feats=3, node_emb_dim=128,
+        ("bf16+static-graph", SRNet(in_feats=in_feats, node_emb_dim=128,
                                     upsample_ratio=UPSAMPLE_RATIO,
                                     compute_dtype=jnp.bfloat16,
                                     graph_mode="static")),
-        ("bf16", SRNet(in_feats=3, node_emb_dim=128,
+        ("bf16", SRNet(in_feats=in_feats, node_emb_dim=128,
                        upsample_ratio=UPSAMPLE_RATIO,
                        compute_dtype=jnp.bfloat16)),
     ]
@@ -135,10 +201,13 @@ def main() -> None:
     for name, cand in candidates:
         try:
             cd = float(jnp.mean(chamfer(exp_f32, fwd(cand))))
-            if cd / (exp_f32.shape[1] * scale) >= 5e-3:
+            cd_norm = cd / (exp_f32.shape[1] * scale)
+            if cd_norm >= 5e-3:
                 raise RuntimeError(f"quality gate failed: {cd}")
             model = cand
-            print(f"# timing serving mode: {name}")
+            gate_src = "trained" if raw_params is not None else "random-init"
+            print(f"# timing serving mode: {name} "
+                  f"({gate_src} gate, normalized CD {cd_norm:.3e})")
             break
         except Exception as e:
             print(f"# {name} mode unavailable ({e}); falling back")
@@ -146,7 +215,8 @@ def main() -> None:
     # chained step: the (slightly contracted) first N_POINTS output points
     # become the next frame's input, forcing serial execution
     step = jax.jit(
-        lambda v, p: model.apply(v, p, p, False)[0][:, :N_POINTS] * 0.999
+        lambda v, p: model.apply(v, make_feat(p), p, False)[0][:, :N_POINTS]
+        * 0.999
     )
 
     def run_chain(n: int) -> float:

@@ -44,6 +44,18 @@ def main():
     p.add_argument("--R", type=float, default=0.10)
     p.add_argument("--emd_iters", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
+    # Serving-mode switches, for per-mode parity tables of the bench gate's
+    # approximations (VERDICT r3 missing #1): exact f32 dynamic is the
+    # reference semantics; bf16 / static-graph / approx graph kNN are the
+    # serving approximations whose quality cost these flags measure on a
+    # TRAINED checkpoint.
+    p.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32")
+    p.add_argument("--graph_mode", choices=["dynamic", "static"],
+                   default="dynamic")
+    p.add_argument("--approx_graph", action="store_true",
+                   help="allow the approximate bf16 graph-kNN kernel "
+                        "(default here: exact, regardless of the library "
+                        "training default)")
     opt = p.parse_args()
 
     import jax
@@ -75,9 +87,15 @@ def main():
         seed=opt.seed,
     )
 
+    from tpugan_tpu.ops.neighbors import set_approx_graph_knn
+
+    set_approx_graph_knn(opt.approx_graph)
     model = SRNet(in_feats=opt.in_node_feats,
                   node_emb_dim=opt.node_embedding,
-                  upsample_ratio=opt.upsample_ratio)
+                  upsample_ratio=opt.upsample_ratio,
+                  compute_dtype=(jnp.bfloat16 if opt.compute_dtype == "bf16"
+                                 else None),
+                  graph_mode=opt.graph_mode)
     n = int(opt.patch_size * 0.125)
     pos0 = jnp.zeros((1, n, 3))
     feat0 = jnp.zeros((1, n, opt.in_node_feats))
@@ -156,6 +174,11 @@ def main():
         cyc_emds.append(cemd)
 
     print(json.dumps({
+        "serving_mode": {
+            "compute_dtype": opt.compute_dtype,
+            "graph_mode": opt.graph_mode,
+            "approx_graph": bool(opt.approx_graph),
+        },
         "chamfer_norm": float(np.mean(cds)),
         "emd": float(np.mean(emds)),
         "mmd": float(np.mean(mmds)),

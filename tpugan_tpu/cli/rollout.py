@@ -56,6 +56,12 @@ def main():
                         "device-resident lax.scan rollout")
     p.add_argument("--chunk", type=int, default=100,
                    help="frames per device chunk in the scan rollout")
+    p.add_argument("--shard_points", action="store_true",
+                   help="shard each frame's POINT axis over the device mesh "
+                        "(big single frames: graph builds all-gather over "
+                        "ICI, everything else stays local; exact results)")
+    p.add_argument("--mesh_devices", type=int, default=None,
+                   help="devices in the point-sharding mesh (default: all)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -123,7 +129,24 @@ def main():
     os.makedirs(opt.out_dir, exist_ok=True)
     uniform = len({p.shape[0] for p, _ in frames}) == 1
     t0 = time.time()
-    if uniform and not opt.host_pipeline:
+    if opt.shard_points:
+        if not uniform:
+            raise SystemExit("--shard_points needs a uniform-N sequence")
+        from tpugan_tpu.parallel.mesh import make_mesh
+        from tpugan_tpu.parallel.sharded_serving import (
+            rollout_sequence_sharded,
+        )
+
+        mesh = make_mesh(opt.mesh_devices)
+        print(f"point-sharding frames over {mesh.devices.size} devices")
+        pos_seq = np.stack([p for p, _ in frames])
+        vel_seq = (np.stack([v for _, v in frames])
+                   if frames[0][1] is not None else None)
+        outputs = rollout_sequence_sharded(
+            model, variables, pos_seq, vel_seq, mesh=mesh,
+            use_vel=opt.use_vel,
+        )
+    elif uniform and not opt.host_pipeline:
         pos_seq = np.stack([p for p, _ in frames])
         vel_seq = (np.stack([v for _, v in frames])
                    if frames[0][1] is not None else None)

@@ -29,6 +29,8 @@ materialized; we map over query chunks, which keeps peak memory at
 
 from __future__ import annotations
 
+import contextlib
+
 from typing import Optional, Tuple
 
 import jax
@@ -58,12 +60,45 @@ def set_approx_graph_knn(enabled: bool) -> None:
     APPROX_GRAPH_KNN = bool(enabled)
 
 
+# N-axis (point-axis) sharded serving context — the context-parallel analog
+# the reference has no equivalent of (it patches big frames host-side,
+# SURVEY.md §5). Entered only inside ``jax.shard_map`` bodies
+# (parallel/sharded_serving.py): every point/feature tensor is a contiguous
+# N-shard of the global cloud. Under the context, ``graph_knn`` all-gathers
+# the candidate side over the named mesh axis — so each device computes the
+# EXACT kNN of its query shard against the full cloud and the returned
+# indices are GLOBAL point indices — and ``gather`` all-gathers the point
+# table before indexing. Everything between graph builds and gathers in the
+# generator is pointwise, so the model code runs unmodified.
+_POINT_SHARD_AXIS: Optional[str] = None
+
+
+@contextlib.contextmanager
+def point_shard_axis(axis_name: Optional[str]):
+    """Declare the mesh axis the point dimension is sharded over (trace-time
+    toggle, like ``APPROX_GRAPH_KNN``; not thread-safe across concurrent
+    traces)."""
+    global _POINT_SHARD_AXIS
+    prev, _POINT_SHARD_AXIS = _POINT_SHARD_AXIS, axis_name
+    try:
+        yield
+    finally:
+        _POINT_SHARD_AXIS = prev
+
+
 def graph_knn(
     x: jnp.ndarray,
     k: int,
     c_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """kNN for dynamic-graph construction; honors ``APPROX_GRAPH_KNN``."""
+    """kNN for dynamic-graph construction; honors ``APPROX_GRAPH_KNN`` and
+    the ``point_shard_axis`` serving context (global indices there)."""
+    if _POINT_SHARD_AXIS is not None:
+        cand = jax.lax.all_gather(x, _POINT_SHARD_AXIS, axis=1, tiled=True)
+        cv = (jax.lax.all_gather(c_valid, _POINT_SHARD_AXIS, axis=1,
+                                 tiled=True)
+              if c_valid is not None else None)
+        return knn(x, cand, k=k, c_valid=cv, approx=APPROX_GRAPH_KNN)
     return knn(x, k=k, c_valid=c_valid, approx=APPROX_GRAPH_KNN)
 
 
@@ -382,7 +417,14 @@ def gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     Equivalent of pointnet2_ops ``gather_operation`` / the reference's
     ``index_points`` (discriminator.py:43-60) in channels-last layout.
+
+    Inside the ``point_shard_axis`` serving context, ``points`` is this
+    device's N-shard and ``idx`` carries GLOBAL indices (the contract of the
+    sharded ``graph_knn``): the table is all-gathered over ICI first.
     """
+    if _POINT_SHARD_AXIS is not None:
+        points = jax.lax.all_gather(points, _POINT_SHARD_AXIS, axis=1,
+                                    tiled=True)
     return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
 
 
