@@ -56,6 +56,12 @@ def main():
                    help="allow the approximate bf16 graph-kNN kernel "
                         "(default here: exact, regardless of the library "
                         "training default)")
+    p.add_argument("--agreement_vs_exact", action="store_true",
+                   help="also run the exact f32 dynamic-graph forward on "
+                        "every sample and report keep-mask agreement and "
+                        "prediction Chamfer against it (the per-mode "
+                        "trained-checkpoint parity table of VERDICT r3 "
+                        "missing #1)")
     opt = p.parse_args()
 
     import jax
@@ -117,6 +123,17 @@ def main():
 
     fwd = jax.jit(lambda f, q: model.apply(variables, f, q, False))
 
+    fwd_exact = None
+    if opt.agreement_vs_exact:
+        # The exact-semantics twin: f32, per-layer dynamic graphs, exact
+        # graph kNN. APPROX_GRAPH_KNN is read at trace time, so each jitted
+        # callable is traced under its own setting (toggled per call below).
+        exact_model = SRNet(in_feats=opt.in_node_feats,
+                            node_emb_dim=opt.node_embedding,
+                            upsample_ratio=opt.upsample_ratio)
+        fwd_exact = jax.jit(
+            lambda f, q: exact_model.apply(variables, f, q, False))
+
     def sr_apply(feature, pos):
         expanded, _, padded, valid = fwd(feature, pos)
         return expanded
@@ -124,6 +141,7 @@ def main():
     cds, emds, mmds, fs_diffs = [], [], [], []
     fs_preds, fs_gts, keep_rates, pred_counts, gt_counts = [], [], [], [], []
     cyc_cds, cyc_emds = [], []
+    mask_agreements, cd_vs_exact = [], []
     for i in range(min(opt.num_samples, len(ds))):
         item = ds[i]
         low = jnp.asarray(item["lowres_pos"])        # [3, n, 3]
@@ -133,7 +151,19 @@ def main():
         if opt.use_vel and opt.in_node_feats == 6:
             feat = jnp.concatenate([low, vel * DT], axis=-1)
 
+        set_approx_graph_knn(opt.approx_graph)
         expanded, mask, padded, valid = fwd(feat[1][None], low[1][None])
+        if fwd_exact is not None:
+            from tpugan_tpu.ops.metrics import chamfer as _chamfer
+
+            set_approx_graph_knn(False)
+            _, _, padded_e, valid_e = fwd_exact(feat[1][None], low[1][None])
+            mask_agreements.append(
+                float(jnp.mean(valid == valid_e)))
+            cd = float(_chamfer(padded, padded_e,
+                                a_valid=valid, b_valid=valid_e)[0])
+            scale = float(jnp.mean(jnp.sum(low[1] ** 2, -1)))
+            cd_vs_exact.append(cd / (padded.shape[1] * max(scale, 1e-12)))
         pred = np.asarray(padded)[0][np.asarray(valid)[0]]
         # CD sees the FULL clouds (the reference only subsamples for EMD):
         # pad the variable-size prediction to a bucket with a validity mask
@@ -191,6 +221,9 @@ def main():
         "cycle_chamfer": float(np.mean(cyc_cds)),
         "cycle_emd": float(np.mean(cyc_emds)),
         "samples": len(cds),
+        **({"keep_mask_agreement_vs_exact": float(np.mean(mask_agreements)),
+            "chamfer_norm_vs_exact": float(np.mean(cd_vs_exact))}
+           if mask_agreements else {}),
     }))
 
 

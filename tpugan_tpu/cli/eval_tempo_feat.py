@@ -45,6 +45,9 @@ def main():
     p.add_argument("--frames_per_clip", type=int, default=3)
     p.add_argument("--num_points", type=int, default=2048)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_videos", type=int, default=8)
+    p.add_argument("--synthetic_classes", type=int, default=3)
+    p.add_argument("--synthetic_frames", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     from tpugan_tpu.config import parse_with_preset
 
@@ -60,8 +63,12 @@ def main():
     data_dir = opt.data_dir
     if opt.synthetic:
         data_dir = os.path.join(opt.log_dir, "synthetic_msr")
-        make_synthetic_action_dataset(data_dir, num_videos=8, frames=10,
-                                      points=3000, seed=opt.seed)
+        make_synthetic_action_dataset(data_dir,
+                                      num_videos=opt.synthetic_videos,
+                                      frames=opt.synthetic_frames,
+                                      points=3000,
+                                      num_classes=opt.synthetic_classes,
+                                      seed=opt.seed)
 
     train_ds = MSRAction3DDataset(
         data_dir, frames_per_clip=opt.frames_per_clip,
