@@ -39,6 +39,9 @@ def get_arguments(parser: argparse.ArgumentParser, argv=None):
         help="per-frame FPS downsample on device inside the jitted step "
              "(fps_pallas) instead of in the host loader")
     add("--synthetic", action="store_true")
+    add("--synthetic_videos", type=int, default=6)
+    add("--synthetic_classes", type=int, default=3)
+    add("--synthetic_frames", type=int, default=10)
     add("--data_parallel", action="store_true")
     add("--profile", action="store_true",
         help="capture a jax.profiler device trace of steps 10-15 into "
@@ -87,8 +90,12 @@ def main():
     if opt.synthetic:
         data_dir = os.path.join(opt.log_dir, "synthetic_msr")
         print(f"Generating synthetic MSR dataset at {data_dir}")
-        make_synthetic_action_dataset(data_dir, num_videos=6, frames=10,
-                                      points=3000, seed=opt.seed)
+        make_synthetic_action_dataset(data_dir,
+                                      num_videos=opt.synthetic_videos,
+                                      frames=opt.synthetic_frames,
+                                      points=3000,
+                                      num_classes=opt.synthetic_classes,
+                                      seed=opt.seed)
 
     cfg = ActionTrainConfig(
         lr=opt.lr, iters=opt.iters, ckpt_every=opt.ckpt_every,
