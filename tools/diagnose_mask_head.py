@@ -51,6 +51,11 @@ def main():
     p.add_argument("--R", type=float, default=0.10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fs_radius", type=float, default=0.025)
+    p.add_argument("--particle_radius", type=float, default=0.025,
+                   help="masking-target radius; the fluid train step passes "
+                        "cfg.cutoff (=0.025) straight through "
+                        "(train/step.py make_fluid_gan_step, reference "
+                        "train_step_final.py:110)")
     opt = p.parse_args()
 
     import jax
@@ -89,9 +94,7 @@ def main():
     )
     fwd = jax.jit(lambda v, f, q: model.apply(v, f, q, False))
 
-    # 0.4 * cutoff = the training particle_radius (train_step_final.py /
-    # cli/train_fluid.py); the masking target uses 1.4x / 1.9x of it
-    particle_radius = 0.4 * 0.025
+    particle_radius = opt.particle_radius
 
     def analyze(variables, label):
         rows = []
