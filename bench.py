@@ -93,17 +93,19 @@ def _trace_frame_ms(jax) -> float:
 
 
 def _find_checkpoint() -> str | None:
-    """TPUGAN_BENCH_CKPT (file or model_ckpt dir), else the newest
-    runs/*/model_ckpt with a latest_checkpoint.txt pointer, else the
-    committed checkpoints/ (runs/ is gitignored and does not survive
-    between build rounds; checkpoints/ does)."""
+    """TPUGAN_BENCH_CKPT (file or model_ckpt dir), else the committed
+    ``checkpoints/fluid*.ckpt`` (the blessed full-budget artifact; runs/ is
+    gitignored and does not survive between build rounds), else the newest
+    ``runs/*/model_ckpt`` — last because runs/ may hold short ablation or
+    ACTION-model checkpoints (e.g. the 300-iter exact-graph A/B arms) that
+    would silently weaken the quality gate."""
     path = os.environ.get("TPUGAN_BENCH_CKPT")
     cands = ([path] if path else
-             sorted(glob.glob("runs/*/model_ckpt"), key=os.path.getmtime,
-                    reverse=True)
-             + sorted(glob.glob(os.path.join(
+             sorted(glob.glob(os.path.join(
                  os.path.dirname(os.path.abspath(__file__)),
-                 "checkpoints", "fluid*.ckpt")), reverse=True))
+                 "checkpoints", "fluid*.ckpt")), reverse=True)
+             + sorted(glob.glob("runs/*fluid*/model_ckpt"),
+                      key=os.path.getmtime, reverse=True))
     for c in cands:
         if os.path.isdir(c):
             pointer = os.path.join(c, "latest_checkpoint.txt")

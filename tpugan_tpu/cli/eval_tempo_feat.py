@@ -44,6 +44,10 @@ def main():
     p.add_argument("--cutoff", type=float, default=2.0)
     p.add_argument("--frames_per_clip", type=int, default=3)
     p.add_argument("--num_points", type=int, default=2048)
+    p.add_argument("--no_freeze", action="store_true",
+                   help="train the WHOLE classifier (tower included) — the "
+                        "supervised ceiling for this dataset/architecture, "
+                        "against which the frozen-feature arms are read")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_videos", type=int, default=8)
     p.add_argument("--synthetic_classes", type=int, default=3)
@@ -111,6 +115,8 @@ def main():
 
     # ---- freeze tower (sa1/sa2/flow), train pooling + fc
     def label_fn(path_tuple, _):
+        if opt.no_freeze:
+            return "trainable"
         top = path_tuple[0] if path_tuple else ""
         sub = path_tuple[1] if len(path_tuple) > 1 else ""
         frozen = top == "tower" and sub in ("sa1", "sa2", "flow_module")

@@ -34,6 +34,9 @@ def get_arguments(parser: argparse.ArgumentParser, argv=None):
         help="exact feature-space kNN graphs instead of the approximate "
              "bf16 kernel (ops/neighbors.py graph_knn)")
     add("--freeze_D", action="store_true")
+    add("--fast_d", action="store_true",
+        help="stack the D towers' per-frame and fake/real applies into one "
+             "batched apply (see train_fluid --fast_d)")
     add("--dump_visualization", action="store_true")
     add("--device_sampling", action="store_true",
         help="per-frame FPS downsample on device inside the jitted step "
@@ -102,7 +105,8 @@ def main():
         node_embedding=opt.node_embedding, R=opt.R, data_dir=data_dir,
         batch_size=opt.batch_size, num_points=opt.num_points, w=opt.w,
         device_sampling=opt.device_sampling,
-        freeze_D=opt.freeze_D, dump_visualization=opt.dump_visualization,
+        freeze_D=opt.freeze_D, fast_d=opt.fast_d,
+        dump_visualization=opt.dump_visualization,
         log_dir=opt.log_dir, seed=opt.seed, data_parallel=opt.data_parallel,
     )
 

@@ -56,6 +56,11 @@ def get_arguments(parser: argparse.ArgumentParser, argv=None):
              "kernel instead of the approximate bf16 reduced-fold one "
              "(ops/neighbors.py graph_knn)")
     add("--freeze_D", action="store_true")
+    add("--fast_d", action="store_true",
+        help="stack the D towers' per-frame and fake/real applies into one "
+             "batched apply (grouped batch statistics keep per-call BN "
+             "semantics; spectral-norm power iterations advance once per "
+             "stacked apply — BENCH_NOTES round-4 A/B)")
     add("--dump_visualization", action="store_true")
     # TPU-native additions
     add("--synthetic", action="store_true",
@@ -134,7 +139,8 @@ def main():
         small_batch=opt.small_batch, patch_size=patch_size,
         w=opt.w, cutoff=opt.cutoff, use_vel=opt.use_vel, interp=opt.interp,
         device_sampling=opt.device_sampling,
-        freeze_D=opt.freeze_D, dump_visualization=opt.dump_visualization,
+        freeze_D=opt.freeze_D, fast_d=opt.fast_d,
+        dump_visualization=opt.dump_visualization,
         log_dir=opt.log_dir, seed=opt.seed, data_parallel=opt.data_parallel,
     )
 

@@ -57,6 +57,12 @@ class FluidTrainConfig:
     # (gcn_lib/interpolation.py:103-123). At fluid density the two GENUINELY
     # differ (queries have ~100+ in-radius neighbors); see PARITY.md.
     interp: str = "dense"
+    # Stack the D-side tower applies: frames into one sa1/sa2 pass, and the
+    # D update's fake+real applies into one (grouped batch statistics keep
+    # per-call BN semantics — nn/layers.py stat_groups; spectral-norm power
+    # iterations advance once per stacked apply instead of once per frame/
+    # source, the documented deviation, A/B'd in BENCH_NOTES round 4).
+    fast_d: bool = False
     freeze_D: bool = False
     dump_visualization: bool = False
     log_dir: str = "./"
@@ -100,6 +106,7 @@ class ActionTrainConfig:
     # device-side per-frame FPS downsample inside the jitted step (see
     # FluidTrainConfig.device_sampling; action FPS is per-frame independent)
     device_sampling: bool = False
+    fast_d: bool = False         # see FluidTrainConfig.fast_d
     freeze_D: bool = False
     dump_visualization: bool = False
     log_dir: str = "./"

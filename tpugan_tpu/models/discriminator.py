@@ -15,8 +15,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import tpugan_tpu.nn.layers as _layers
 from tpugan_tpu.nn.flow import FlowModule
-from tpugan_tpu.nn.layers import leaky_relu_001
+from tpugan_tpu.nn.layers import (ambient_batch_norm, leaky_relu_001,
+                                  stat_groups)
 from tpugan_tpu.nn.setconv import SetConv
 
 
@@ -47,6 +49,42 @@ def _stacked_fps(sa: SetConv, pos_lst, valid_lst):
     return list(jnp.split(idx, f, axis=0))
 
 
+def _stacked_sa_frames(sa1, sa2, pos_lst, feat_lst, valid_lst, train):
+    """Run a temporal tower's per-frame sa1+sa2 passes as ONE stacked apply.
+
+    The reference loops the same SetConv over F same-shape frames
+    (discriminator.py:366-401, 518-559) — F sequential dispatches of the
+    same weights. Stacking the frames into the batch axis runs one
+    F-times-larger program (one FPS round chain, one ball query, one conv
+    stack) with identical math: the convs/gathers are row-independent, and
+    the batch norms run under ``stat_groups(F * ambient)`` so every frame
+    (x every ambient block, e.g. the fake/real halves of a stacked D
+    update) keeps ITS OWN batch statistics exactly as the per-frame loop
+    computed them (layers.GroupedBatchNorm; bit-equality pinned by
+    tests/test_fast_d.py with spectral norm frozen). With spectral norm
+    live the stacked apply advances each power iteration once instead of F
+    times per tower call — u-trajectory detail, A/B'd in BENCH_NOTES.
+
+    Requires uniform frame shapes and an all-or-none valid_lst."""
+    f = len(pos_lst)
+    if any(p.shape != pos_lst[0].shape for p in pos_lst):
+        raise ValueError("stack_frames requires uniform frame shapes")
+    spos = jnp.concatenate(pos_lst, axis=0)
+    sfeat = (jnp.concatenate(feat_lst, axis=0)
+             if feat_lst is not None else spos)
+    svalid = None
+    if valid_lst is not None:
+        if any(v is None for v in valid_lst):
+            raise ValueError("stack_frames needs all-or-none valid masks")
+        svalid = jnp.concatenate(valid_lst, axis=0)
+    outer = _layers._STAT_GROUPS
+    with stat_groups(f * outer):
+        p1, f1 = sa1(spos, sfeat, valid=svalid, train=train)
+        p2, f2 = sa2(p1, f1, train=train)
+    return (list(jnp.split(p2, f, axis=0)),
+            list(jnp.split(f2, f, axis=0)))
+
+
 class _FCHead(nn.Module):
     """Spectral-normed Linear/BN/LeakyReLU/Dropout scoring head (reference
     discriminator.py:356-364, 509-516)."""
@@ -58,14 +96,14 @@ class _FCHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        for w, p in zip(self.widths, self.dropouts):
+        for i, (w, p) in enumerate(zip(self.widths, self.dropouts)):
             dense = nn.Dense(w)
             x = (
                 nn.SpectralNorm(dense)(x, update_stats=train)
                 if self.spectral_norm
                 else dense(x)
             )
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = ambient_batch_norm(train, name=f"BatchNorm_{i}")(x)
             x = leaky_relu_001(x)
             if p > 0:
                 x = nn.Dropout(p, deterministic=not train)(x)
@@ -146,24 +184,30 @@ class FluidTempoDis(nn.Module):
         feat_lst: Optional[List[jnp.ndarray]] = None,
         valid_lst: Optional[List[jnp.ndarray]] = None,
         train: bool = True,
+        stack_frames: bool = False,
     ) -> jnp.ndarray:
         if feat_lst is not None:
             assert len(feat_lst) == len(pos_lst)
-        c1 = _stacked_fps(self.sa1, pos_lst, valid_lst)
-        mid_p, mid_f = [], []
-        for i, pos in enumerate(pos_lst):
-            feat_in = feat_lst[i] if feat_lst is not None else pos
-            valid = valid_lst[i] if valid_lst is not None else None
-            p, f = self.sa1(pos, feat_in, valid=valid, train=train,
-                            centers=c1[i])
-            mid_p.append(p)
-            mid_f.append(f)
-        c2 = _stacked_fps(self.sa2, mid_p, None)
-        feats, poss = [], []
-        for i in range(len(pos_lst)):
-            p, f = self.sa2(mid_p[i], mid_f[i], train=train, centers=c2[i])
-            poss.append(p)
-            feats.append(f)
+        if stack_frames:
+            poss, feats = _stacked_sa_frames(
+                self.sa1, self.sa2, pos_lst, feat_lst, valid_lst, train)
+        else:
+            c1 = _stacked_fps(self.sa1, pos_lst, valid_lst)
+            mid_p, mid_f = [], []
+            for i, pos in enumerate(pos_lst):
+                feat_in = feat_lst[i] if feat_lst is not None else pos
+                valid = valid_lst[i] if valid_lst is not None else None
+                p, f = self.sa1(pos, feat_in, valid=valid, train=train,
+                                centers=c1[i])
+                mid_p.append(p)
+                mid_f.append(f)
+            c2 = _stacked_fps(self.sa2, mid_p, None)
+            feats, poss = [], []
+            for i in range(len(pos_lst)):
+                p, f = self.sa2(mid_p[i], mid_f[i], train=train,
+                                centers=c2[i])
+                poss.append(p)
+                feats.append(f)
         feature = self.flow_module(feats, poss, 20 * cutoff, train=train)
         _, feature = self.sa_pooling(poss[0], feature, train=train)
         return self.fc(feature[:, 0, :], train=train)
@@ -221,21 +265,27 @@ class _ActionTempoTower(nn.Module):
                                       spectral_norm=sn)
         self.sa_pooling = SetConv.ssg(list(self.pool_mlp), spectral_norm=sn)
 
-    def __call__(self, pos_lst, cutoff, valid_lst=None, train=True):
-        c1 = _stacked_fps(self.sa1, pos_lst, valid_lst)
-        mid_p, mid_f = [], []
-        for i, pos in enumerate(pos_lst):
-            valid = valid_lst[i] if valid_lst is not None else None
-            p, f = self.sa1(pos, pos, valid=valid, train=train,
-                            centers=c1[i])
-            mid_p.append(p)
-            mid_f.append(f)
-        c2 = _stacked_fps(self.sa2, mid_p, None)
-        feats, poss = [], []
-        for i in range(len(pos_lst)):
-            p, f = self.sa2(mid_p[i], mid_f[i], train=train, centers=c2[i])
-            poss.append(p)
-            feats.append(f)
+    def __call__(self, pos_lst, cutoff, valid_lst=None, train=True,
+                 stack_frames=False):
+        if stack_frames:
+            poss, feats = _stacked_sa_frames(
+                self.sa1, self.sa2, pos_lst, None, valid_lst, train)
+        else:
+            c1 = _stacked_fps(self.sa1, pos_lst, valid_lst)
+            mid_p, mid_f = [], []
+            for i, pos in enumerate(pos_lst):
+                valid = valid_lst[i] if valid_lst is not None else None
+                p, f = self.sa1(pos, pos, valid=valid, train=train,
+                                centers=c1[i])
+                mid_p.append(p)
+                mid_f.append(f)
+            c2 = _stacked_fps(self.sa2, mid_p, None)
+            feats, poss = [], []
+            for i in range(len(pos_lst)):
+                p, f = self.sa2(mid_p[i], mid_f[i], train=train,
+                                centers=c2[i])
+                poss.append(p)
+                feats.append(f)
         feature = self.flow_module(feats, poss, cutoff, train=train)
         _, feature = self.sa_pooling(poss[0], feature, train=train)
         return feature[:, 0, :]
@@ -254,8 +304,10 @@ class ActionTempoDis(nn.Module):
         )
         self.fc = _FCHead([256, 64], [0.3, 0.1], spectral_norm=True)
 
-    def __call__(self, pos_lst, cutoff, valid_lst=None, train=True):
-        feature = self.tower(pos_lst, cutoff, valid_lst=valid_lst, train=train)
+    def __call__(self, pos_lst, cutoff, valid_lst=None, train=True,
+                 stack_frames=False):
+        feature = self.tower(pos_lst, cutoff, valid_lst=valid_lst,
+                             train=train, stack_frames=stack_frames)
         return self.fc(feature, train=train)
 
 

@@ -15,7 +15,7 @@ from typing import List, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tpugan_tpu.nn.layers import leaky_relu_001
+from tpugan_tpu.nn.layers import ambient_batch_norm, leaky_relu_001
 from tpugan_tpu.ops.neighbors import group, knn
 
 
@@ -47,13 +47,13 @@ class FlowEmbedding(nn.Module):
             feat1[:, :, None, :], feat2_grouped.shape
         )
         y = jnp.concatenate([pos_diff, feat2_grouped, feat1_tiled], axis=-1)
-        for width in self.mlp:
+        for i, width in enumerate(self.mlp):
             dense = nn.Dense(width, use_bias=False)
             if self.spectral_norm:
                 y = nn.SpectralNorm(dense)(y, update_stats=train)
             else:
                 y = dense(y)
-            y = nn.BatchNorm(use_running_average=not train)(y)
+            y = ambient_batch_norm(train, name=f"BatchNorm_{i}")(y)
             y = leaky_relu_001(y)
         return jnp.max(y, axis=2)                               # [B, N, C']
 

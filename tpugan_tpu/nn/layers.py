@@ -15,11 +15,102 @@ discriminator flavor is the usual ``bias = not bn`` (discriminator.py:68).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Grouped-statistics batch norm context.
+#
+# The reference's temporal towers apply the SAME BatchNorm-bearing module
+# several times per train step (once per frame, and once for the fake and
+# once for the real batch in the D update — discriminator.py:366-401,518-559;
+# train_step_final.py:185-216). Each torch call normalizes with ITS OWN batch
+# statistics. Stacking those calls into one big batched apply (better MXU
+# utilization, ~F x fewer dispatches) therefore must NOT pool the statistics:
+# inside `with stat_groups(G):` every batch-norm created by ConvLayer /
+# FlowEmbedding / _FCHead treats the leading axis as G equal row-blocks,
+# normalizes each block with its own statistics, and replays the running-
+# average EMA once per block in block order — reproducing G sequential
+# flax/torch BatchNorm calls exactly (pinned by tests/test_grouped_bn.py).
+# Trace-time Python state (same pattern as setconv._FUSED_TRAIN): set it
+# around `module.apply(...)` calls while they trace.
+_STAT_GROUPS = 1
+
+
+@contextlib.contextmanager
+def stat_groups(n: int):
+    """All batch norms created under this context compute per-row-block
+    statistics for ``n`` equal blocks of the leading axis."""
+    global _STAT_GROUPS
+    prev = _STAT_GROUPS
+    _STAT_GROUPS = int(n)
+    try:
+        yield
+    finally:
+        _STAT_GROUPS = prev
+
+
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm whose leading axis holds ``groups`` stacked sub-batches,
+    each normalized with its own statistics — bit-equal to ``groups``
+    sequential ``nn.BatchNorm`` train-mode calls on the blocks (same f32
+    fast-variance stats, same EMA order, same variable names, so it binds
+    the checkpoint tree ``nn.BatchNorm`` created)."""
+
+    groups: int
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        g = self.groups
+        if x.shape[0] % g:
+            raise ValueError(
+                f"leading axis {x.shape[0]} not divisible into "
+                f"{g} stat groups")
+        xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
+        axes = tuple(range(1, xg.ndim - 1))
+        x32 = xg.astype(jnp.float32)
+        mu = jnp.mean(x32, axes)                               # [G, C]
+        mu2 = jnp.mean(jnp.square(x32), axes)
+        var = jnp.maximum(0.0, mu2 - jnp.square(mu))           # [G, C]
+        if not self.is_initializing():
+            rm, rv = ra_mean.value, ra_var.value
+            for i in range(g):       # replay EMA per block, in block order
+                rm = self.momentum * rm + (1 - self.momentum) * mu[i]
+                rv = self.momentum * rv + (1 - self.momentum) * var[i]
+            ra_mean.value = rm
+            ra_var.value = rv
+        shape = (g,) + (1,) * len(axes) + (c,)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x32 - mu.reshape(shape)) * mul.reshape(shape)
+        y = y + bias
+        return y.reshape(x.shape).astype(jnp.result_type(x))
+
+
+def ambient_batch_norm(train: bool, name: Optional[str] = None):
+    """A batch-norm module honoring the ambient ``stat_groups`` context.
+
+    Grouped instances are constructed under the name ``nn.BatchNorm`` would
+    have received so both modes bind the same variable tree. Callers that
+    create several norms in one scope must pass explicit ``BatchNorm_{i}``
+    names (flax auto-numbering is per-class, which would diverge)."""
+    if _STAT_GROUPS > 1 and train:
+        return GroupedBatchNorm(groups=_STAT_GROUPS,
+                                name=name or "BatchNorm_0")
+    return nn.BatchNorm(use_running_average=not train, axis_name=None,
+                        name=name)
 
 
 def leaky_relu_02(x):
@@ -100,6 +191,9 @@ class ConvLayer(nn.Module):
             use_bias = self.norm in ("batch", "ins")
 
         if fused_op == "bn_update":
+            assert _STAT_GROUPS == 1, (
+                "fused SetConv path does not support stat_groups; "
+                "SharedMLP._fusable must gate it off")
             norm = _norm_module(self.norm, train)
             if norm is None:
                 return None
@@ -137,9 +231,12 @@ class ConvLayer(nn.Module):
             x = nn.SpectralNorm(dense)(x, update_stats=train)
         else:
             x = dense(x)
-        norm = _norm_module(self.norm, train)
-        if norm is not None:
-            x = norm(x)
+        if self.norm == "batch":
+            x = ambient_batch_norm(train)(x)
+        else:
+            norm = _norm_module(self.norm, train)
+            if norm is not None:
+                x = norm(x)
         if self.act is not None:
             x = self.act(x)
         return x
@@ -165,7 +262,8 @@ class SharedMLP(nn.Module):
     def _fusable(self, x: jnp.ndarray) -> bool:
         return (x.ndim == 4 and self.dtype is None
                 and self.norm in ("batch", "none")
-                and act_slope(self.act) is not None)
+                and act_slope(self.act) is not None
+                and _STAT_GROUPS == 1)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,

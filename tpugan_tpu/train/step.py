@@ -36,6 +36,7 @@ from tpugan_tpu.losses.gan import (
     lsgan_labels,
 )
 from tpugan_tpu.losses.geometry import tpugan_sr_loss
+from tpugan_tpu.nn.layers import stat_groups
 from tpugan_tpu.models import (
     ActionSpatialDis,
     ActionTempoDis,
@@ -341,7 +342,7 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
                     [pred_seq[i] for i in range(3)], cfg.R,
                     feat_lst=feat_lst,
                     valid_lst=[pred_valid[i] for i in range(3)],
-                    train=True,
+                    train=True, stack_frames=cfg.fast_d,
                     mutable=["batch_stats"], rngs={"dropout": keys[6]},
                 )
                 tempo_target = jax.random.uniform(
@@ -419,18 +420,52 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
 
             def tempo_loss_fn(tparams):
                 variables = {"params": tparams, "batch_stats": tempo_mid.batch_stats}
-                fake, v1 = tempo_model.apply(
-                    variables, [fake_pos[i] for i in range(3)], cfg.R,
-                    feat_lst=fake_feat_lst,
-                    valid_lst=[pred_valid[i] for i in range(3)], train=True,
-                    mutable=["batch_stats"], rngs={"dropout": keys[11]},
-                )
-                true, v2 = tempo_model.apply(
-                    {"params": tparams, "batch_stats": v1["batch_stats"]},
-                    [true_pos[i] for i in range(3)], cfg.R,
-                    feat_lst=true_feat_lst, valid_lst=None, train=True,
-                    mutable=["batch_stats"], rngs={"dropout": keys[12]},
-                )
+                if cfg.fast_d:
+                    # fake+real in ONE stacked apply: every batch norm keeps
+                    # per-(source, frame) statistics via stat_groups (the
+                    # reference's two sequential D calls,
+                    # train_step_final.py:185-190); exactness pinned by
+                    # tests/test_fast_d.py.
+                    b = highres_pos.shape[1]
+                    ones = jnp.ones(pred_valid.shape[1:], bool)
+                    both_pos = [
+                        jnp.concatenate([fake_pos[i], true_pos[i]])
+                        for i in range(3)
+                    ]
+                    both_valid = [
+                        jnp.concatenate([pred_valid[i], ones])
+                        for i in range(3)
+                    ]
+                    both_feat = None
+                    if cfg.use_vel:
+                        both_feat = [
+                            jnp.concatenate(
+                                [fake_feat_lst[i], true_feat_lst[i]])
+                            for i in range(3)
+                        ]
+                    with stat_groups(2):
+                        score, v2 = tempo_model.apply(
+                            variables, both_pos, cfg.R,
+                            feat_lst=both_feat, valid_lst=both_valid,
+                            train=True, stack_frames=True,
+                            mutable=["batch_stats"],
+                            rngs={"dropout": keys[11]},
+                        )
+                    fake, true = score[:b], score[b:]
+                else:
+                    fake, v1 = tempo_model.apply(
+                        variables, [fake_pos[i] for i in range(3)], cfg.R,
+                        feat_lst=fake_feat_lst,
+                        valid_lst=[pred_valid[i] for i in range(3)],
+                        train=True,
+                        mutable=["batch_stats"], rngs={"dropout": keys[11]},
+                    )
+                    true, v2 = tempo_model.apply(
+                        {"params": tparams, "batch_stats": v1["batch_stats"]},
+                        [true_pos[i] for i in range(3)], cfg.R,
+                        feat_lst=true_feat_lst, valid_lst=None, train=True,
+                        mutable=["batch_stats"], rngs={"dropout": keys[12]},
+                    )
                 loss = lsgan_discriminator_loss(
                     true, fake, valid_lbl, invalid_lbl
                 )
@@ -466,15 +501,29 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
 
             def spatial_loss_fn(sparams):
                 variables = {"params": sparams, "batch_stats": spatial_mid.batch_stats}
-                fake, v1 = spatial_model.apply(
-                    variables, fake_cloud, last_valid, True,
-                    mutable=["batch_stats"], rngs={"dropout": keys[11]},
-                )
-                true, v2 = spatial_model.apply(
-                    {"params": sparams, "batch_stats": v1["batch_stats"]},
-                    true_center, None, True,
-                    mutable=["batch_stats"], rngs={"dropout": keys[12]},
-                )
+                if cfg.fast_d:
+                    nb = fake_cloud.shape[0]
+                    both = jnp.concatenate([fake_cloud, true_center])
+                    bvalid = jnp.concatenate(
+                        [last_valid,
+                         jnp.ones(true_center.shape[:2], bool)])
+                    with stat_groups(2):
+                        score, v2 = spatial_model.apply(
+                            variables, both, bvalid, True,
+                            mutable=["batch_stats"],
+                            rngs={"dropout": keys[11]},
+                        )
+                    fake, true = score[:nb], score[nb:]
+                else:
+                    fake, v1 = spatial_model.apply(
+                        variables, fake_cloud, last_valid, True,
+                        mutable=["batch_stats"], rngs={"dropout": keys[11]},
+                    )
+                    true, v2 = spatial_model.apply(
+                        {"params": sparams, "batch_stats": v1["batch_stats"]},
+                        true_center, None, True,
+                        mutable=["batch_stats"], rngs={"dropout": keys[12]},
+                    )
                 loss = lsgan_discriminator_loss(
                     true, fake, valid_lbl, invalid_lbl
                 )
@@ -580,6 +629,7 @@ def make_action_gan_step(models, txs, cfg: ActionTrainConfig, mesh=None):
             tp_fake, tp_vars = tempo_model.apply(
                 state.tempo.variables(), [pred_seq[i] for i in range(f)],
                 cfg.R, valid_lst=None, train=True,
+                stack_frames=cfg.fast_d,
                 mutable=["batch_stats"], rngs={"dropout": keys[4]},
             )
             tempo_target = jax.random.uniform(keys[5], (), minval=0.8, maxval=1.2)
@@ -616,17 +666,32 @@ def make_action_gan_step(models, txs, cfg: ActionTrainConfig, mesh=None):
         def d_update(_):
             def tempo_loss_fn(tparams):
                 variables = {"params": tparams, "batch_stats": tempo_mid.batch_stats}
-                fake, v1 = tempo_model.apply(
-                    variables, [pred_seq[i] for i in range(f)], cfg.R,
-                    valid_lst=None, train=True,
-                    mutable=["batch_stats"], rngs={"dropout": keys[6]},
-                )
-                true, v2 = tempo_model.apply(
-                    {"params": tparams, "batch_stats": v1["batch_stats"]},
-                    [highres_pos[i] for i in range(f)], cfg.R,
-                    valid_lst=None, train=True,
-                    mutable=["batch_stats"], rngs={"dropout": keys[7]},
-                )
+                if cfg.fast_d:
+                    b = highres_pos.shape[1]
+                    both = [
+                        jnp.concatenate([pred_seq[i], highres_pos[i]])
+                        for i in range(f)
+                    ]
+                    with stat_groups(2):
+                        score, v2 = tempo_model.apply(
+                            variables, both, cfg.R, valid_lst=None,
+                            train=True, stack_frames=True,
+                            mutable=["batch_stats"],
+                            rngs={"dropout": keys[6]},
+                        )
+                    fake, true = score[:b], score[b:]
+                else:
+                    fake, v1 = tempo_model.apply(
+                        variables, [pred_seq[i] for i in range(f)], cfg.R,
+                        valid_lst=None, train=True,
+                        mutable=["batch_stats"], rngs={"dropout": keys[6]},
+                    )
+                    true, v2 = tempo_model.apply(
+                        {"params": tparams, "batch_stats": v1["batch_stats"]},
+                        [highres_pos[i] for i in range(f)], cfg.R,
+                        valid_lst=None, train=True,
+                        mutable=["batch_stats"], rngs={"dropout": keys[7]},
+                    )
                 return lsgan_discriminator_loss(
                     true, fake, valid_lbl, invalid_lbl
                 ), v2["batch_stats"]
@@ -646,15 +711,27 @@ def make_action_gan_step(models, txs, cfg: ActionTrainConfig, mesh=None):
 
             def spatial_loss_fn(sparams):
                 variables = {"params": sparams, "batch_stats": spatial_mid.batch_stats}
-                fake, v1 = spatial_model.apply(
-                    variables, pred_center[:, sp_perm], None, True,
-                    mutable=["batch_stats"], rngs={"dropout": keys[9]},
-                )
-                true, v2 = spatial_model.apply(
-                    {"params": sparams, "batch_stats": v1["batch_stats"]},
-                    highres_pos[1], None, True,
-                    mutable=["batch_stats"], rngs={"dropout": keys[10]},
-                )
+                if cfg.fast_d:
+                    nb = pred_center.shape[0]
+                    both = jnp.concatenate(
+                        [pred_center[:, sp_perm], highres_pos[1]])
+                    with stat_groups(2):
+                        score, v2 = spatial_model.apply(
+                            variables, both, None, True,
+                            mutable=["batch_stats"],
+                            rngs={"dropout": keys[9]},
+                        )
+                    fake, true = score[:nb], score[nb:]
+                else:
+                    fake, v1 = spatial_model.apply(
+                        variables, pred_center[:, sp_perm], None, True,
+                        mutable=["batch_stats"], rngs={"dropout": keys[9]},
+                    )
+                    true, v2 = spatial_model.apply(
+                        {"params": sparams, "batch_stats": v1["batch_stats"]},
+                        highres_pos[1], None, True,
+                        mutable=["batch_stats"], rngs={"dropout": keys[10]},
+                    )
                 return lsgan_discriminator_loss(
                     true, fake, valid_lbl, invalid_lbl
                 ), v2["batch_stats"]
