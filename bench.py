@@ -5,16 +5,23 @@ inference product of the reference, the 800-frame bunny rollout of
 train_fluid/demo.ipynb cell 3) on >=10k-point fluid frames, per
 BASELINE.json's north-star metric "fluid-frame upsampling frames/sec/chip".
 
-Methodology: frames are dispatched as a serial device-side chain (frame
-t's output feeds frame t+1) and timed from a jax.profiler trace: the
-per-frame number is the mean on-device program duration, with back-to-back
-execution verified from the trace (inter-program gaps must be <1% of the
-program time; the device is never idle waiting for dispatch). Wall-clock
-through the axon tunnel is NOT used: the tunneled runtime acknowledges
-dispatches early and adds a per-dispatch round-trip that is absent in a
-production serving loop, where frames are enqueued ahead (the rollout CLI
-pipelines exactly this way). A chained-marginal wall-clock fallback runs
-if trace parsing is unavailable.
+Methodology: the frame chain is DEVICE-RESIDENT — a single jitted
+``lax.scan`` advances frame t's output into frame t+1's input for
+CHAIN_FRAMES frames, so one dispatch covers the whole chain (exactly how
+the production rollout path runs: eval/rollout.py:rollout_sequence_device).
+The per-frame number is the mean on-device program duration from a
+jax.profiler trace divided by CHAIN_FRAMES ("method": "trace"). If trace
+parsing is unavailable, the wall-clock of one warm scan call (dispatch +
+program + sync fetch) divided by CHAIN_FRAMES is used ("method": "wall");
+because the chain pays ONE host round-trip per CHAIN_FRAMES frames, the
+wall number is within ~1 ms/frame of the device number even through the
+axon tunnel. Round 4's artifact (BENCH_r04.json, 14.92 fps = 0.5x) is the
+cautionary tale this design fixes: the old per-frame dispatch chain
+stopped pipelining through the tunnel (~60 ms host RTT per frame) while
+the device program itself still ran 4.4 ms/frame — the harness measured
+the network path, not the chip. The JSON now always carries "method" and
+"device_ms_per_frame" so a methodology failure can never masquerade as a
+perf regression again.
 
 Baseline note: the reference publishes no numbers (BASELINE.md "published:
 {}"; its timing harness prints but never records). ``vs_baseline`` is
@@ -56,14 +63,15 @@ import numpy as np
 REFERENCE_A100_FPS = 30.0  # documented estimate; see module docstring
 N_POINTS = 10240           # >=10k-point frames (north star)
 UPSAMPLE_RATIO = 8         # reference fluid setting (train_tempo.py r=8)
-CHAIN_SHORT = 2
-CHAIN_LONG = 12
+CHAIN_FRAMES = 100         # frames per device program (scan length)
+TRACE_REPS = 3             # scan programs captured per trace
 TRACE_DIR = "/tmp/tpugan_bench_trace"
 
 
-def _trace_frame_ms(jax) -> float:
-    """Mean on-device program duration (ms) from the captured trace; raises
-    if programs are not back-to-back (device idle > 1%)."""
+def _trace_program_ms(jax) -> float:
+    """Mean on-device duration (ms) of the traced scan programs. Each
+    program is CHAIN_FRAMES chained frames, so no back-to-back-dispatch
+    requirement exists: per-dispatch gaps sit OUTSIDE the measured spans."""
     path = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)[0]
     pd = jax.profiler.ProfileData.from_serialized_xspace(
         open(path, "rb").read()
@@ -77,19 +85,14 @@ def _trace_frame_ms(jax) -> float:
                 if "jit_" in ev.name and ev.duration_ns > 1e6:
                     spans.append((ev.start_ns, ev.duration_ns))
     spans.sort()
-    if len(spans) < 3:
+    if len(spans) < 2:
         raise RuntimeError(f"trace shows {len(spans)} device programs")
-    # drop the first (may include warm caches), check continuity
-    durs, gaps = [], []
-    for (s0, d0), (s1, _) in zip(spans, spans[1:]):
-        gaps.append(s1 - (s0 + d0))
-    durs = [d for _, d in spans[1:]]
-    mean_dur = float(np.mean(durs))
-    if max(gaps) > 0.01 * mean_dur:
-        raise RuntimeError(
-            f"device idle between frames: gaps {[g/1e6 for g in gaps]} ms"
-        )
-    return mean_dur / 1e6
+    # the scan programs dominate any stray dispatch: keep spans within 2x
+    # of the longest (drops warm-up blips), then drop the first of those
+    durs = [d for _, d in spans if d > 0.5 * max(d for _, d in spans)]
+    if len(durs) > 1:
+        durs = durs[1:]
+    return float(np.mean(durs)) / 1e6
 
 
 def _find_checkpoint() -> str | None:
@@ -219,46 +222,59 @@ def main() -> None:
         except Exception as e:
             print(f"# {name} mode unavailable ({e}); falling back")
 
-    # chained step: the (slightly contracted) first N_POINTS output points
-    # become the next frame's input, forcing serial execution
-    step = jax.jit(
-        lambda v, p: model.apply(v, make_feat(p), p, False)[0][:, :N_POINTS]
-        * 0.999
-    )
+    # device-resident chain: ONE lax.scan program advances CHAIN_FRAMES
+    # frames (frame t's first N_POINTS output points, slightly contracted,
+    # feed frame t+1), so the whole chain costs one dispatch — the same
+    # shape as the production rollout (eval/rollout.py) and immune to
+    # per-dispatch host/tunnel round-trips (see module docstring)
+    def chain(v, p):
+        def body(c, _):
+            out = model.apply(v, make_feat(c), c, False)[0]
+            return out[:, :N_POINTS] * 0.999, ()
 
-    def run_chain(n: int) -> float:
-        p = pos
+        c, _ = jax.lax.scan(body, p, None, length=CHAIN_FRAMES)
+        return c
+
+    chain = jax.jit(chain)
+
+    def run_chain() -> float:
         t0 = time.perf_counter()
-        for _ in range(n):
-            p = step(variables, p)
+        p = chain(variables, pos)
         _ = np.asarray(p[0, 0, 0])  # true sync: fetch forces execution
         return time.perf_counter() - t0
 
-    run_chain(CHAIN_SHORT)  # warm: compile + first-fetch handshake
+    t_compile0 = time.perf_counter()
+    run_chain()  # warm: compile + first-fetch handshake
+    print(f"# chain warm (compile) took {time.perf_counter()-t_compile0:.1f}s")
 
-    per_frame = None
+    device_ms, method = None, "wall"
     if jax.default_backend() != "cpu":
         try:
             shutil.rmtree(TRACE_DIR, ignore_errors=True)
             with jax.profiler.trace(TRACE_DIR):
-                run_chain(6)
-            per_frame = _trace_frame_ms(jax) / 1e3
-        except Exception as e:  # fall back to wall-clock marginal
+                for _ in range(TRACE_REPS):
+                    run_chain()
+            device_ms = _trace_program_ms(jax) / CHAIN_FRAMES
+            method = "trace"
+        except Exception as e:
             print(f"# trace methodology unavailable ({e}); wall fallback")
 
-    if per_frame is None:
-        t_short = min(run_chain(CHAIN_SHORT) for _ in range(2))
-        t_long = min(run_chain(CHAIN_LONG) for _ in range(2))
-        per_frame = max(
-            (t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT), 1e-9
-        )
+    # wall number always measured: one warm scan call incl. its single
+    # dispatch + sync fetch, amortized over CHAIN_FRAMES
+    wall_ms = min(run_chain() for _ in range(2)) * 1e3 / CHAIN_FRAMES
+    per_frame_ms = device_ms if device_ms is not None else wall_ms
 
-    fps = 1.0 / per_frame
+    fps = 1e3 / per_frame_ms
     print(json.dumps({
         "metric": f"srnet_{UPSAMPLE_RATIO}x_upsample_{N_POINTS}pt_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_A100_FPS, 2),
+        "method": method,
+        "device_ms_per_frame": (round(device_ms, 4)
+                                if device_ms is not None else None),
+        "wall_ms_per_frame": round(wall_ms, 4),
+        "chain_frames": CHAIN_FRAMES,
     }))
 
 

@@ -3,7 +3,9 @@
 Run AFTER the long training finishes (single-client chip). Uses the same
 config as the training run (batch 4, patch 9216, use_vel) with the
 adversarial gate forced on so D towers and cubic interpolation are live.
+``--fast_d`` profiles the stacked-D step (config.py fast_d) for the A/B.
 """
+import argparse
 import glob
 import os
 
@@ -17,9 +19,14 @@ import numpy as np
 from tpugan_tpu.config import FluidTrainConfig
 from tpugan_tpu.train import init_fluid_state, make_fluid_gan_step
 
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--fast_d", action="store_true")
+_opt = _ap.parse_args()
+
 cfg = FluidTrainConfig(
     batch_size=4, patch_size=9216, use_vel=True, in_node_feats=6,
     ml_gate=10.0,  # force the adversarial branch live
+    fast_d=_opt.fast_d,
     log_dir="/tmp/step_prof",
 )
 key = jax.random.PRNGKey(0)

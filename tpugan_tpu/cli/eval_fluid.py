@@ -164,6 +164,10 @@ def main():
                                 a_valid=valid, b_valid=valid_e)[0])
             scale = float(jnp.mean(jnp.sum(low[1] ** 2, -1)))
             cd_vs_exact.append(cd / (padded.shape[1] * max(scale, 1e-12)))
+            # restore the requested serving mode: everything below (incl.
+            # cycle_consistency's jitted fns, which trace on iteration 0)
+            # must run under it, not the exact twin's (ADVICE round 4)
+            set_approx_graph_knn(opt.approx_graph)
         pred = np.asarray(padded)[0][np.asarray(valid)[0]]
         # CD sees the FULL clouds (the reference only subsamples for EMD):
         # pad the variable-size prediction to a bucket with a validity mask

@@ -60,7 +60,9 @@ def get_arguments(parser: argparse.ArgumentParser, argv=None):
         help="stack the D towers' per-frame and fake/real applies into one "
              "batched apply (grouped batch statistics keep per-call BN "
              "semantics; spectral-norm power iterations advance once per "
-             "stacked apply — BENCH_NOTES round-4 A/B)")
+             "stacked apply — BENCH_NOTES round-5 A/B). Requires "
+             "fps_ratio * upsample_ratio == 1 so fake and real clouds share "
+             "a point count")
     add("--dump_visualization", action="store_true")
     # TPU-native additions
     add("--synthetic", action="store_true",

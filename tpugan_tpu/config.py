@@ -61,7 +61,7 @@ class FluidTrainConfig:
     # D update's fake+real applies into one (grouped batch statistics keep
     # per-call BN semantics — nn/layers.py stat_groups; spectral-norm power
     # iterations advance once per stacked apply instead of once per frame/
-    # source, the documented deviation, A/B'd in BENCH_NOTES round 4).
+    # source, the documented deviation, A/B'd in BENCH_NOTES round 5).
     fast_d: bool = False
     freeze_D: bool = False
     dump_visualization: bool = False

@@ -63,7 +63,8 @@ def _stacked_sa_frames(sa1, sa2, pos_lst, feat_lst, valid_lst, train):
     computed them (layers.GroupedBatchNorm; bit-equality pinned by
     tests/test_fast_d.py with spectral norm frozen). With spectral norm
     live the stacked apply advances each power iteration once instead of F
-    times per tower call — u-trajectory detail, A/B'd in BENCH_NOTES.
+    times per tower call — u-trajectory detail, A/B'd in BENCH_NOTES
+    round 5 (fast_d).
 
     Requires uniform frame shapes and an all-or-none valid_lst."""
     f = len(pos_lst)

@@ -35,7 +35,7 @@ from flax import linen as nn
 # FlowEmbedding / _FCHead treats the leading axis as G equal row-blocks,
 # normalizes each block with its own statistics, and replays the running-
 # average EMA once per block in block order — reproducing G sequential
-# flax/torch BatchNorm calls exactly (pinned by tests/test_grouped_bn.py).
+# flax/torch BatchNorm calls exactly (pinned by tests/test_fast_d.py).
 # Trace-time Python state (same pattern as setconv._FUSED_TRAIN): set it
 # around `module.apply(...)` calls while they trace.
 _STAT_GROUPS = 1
@@ -96,7 +96,10 @@ class GroupedBatchNorm(nn.Module):
         mul = jax.lax.rsqrt(var + self.epsilon) * scale
         y = (x32 - mu.reshape(shape)) * mul.reshape(shape)
         y = y + bias
-        return y.reshape(x.shape).astype(jnp.result_type(x))
+        # flax nn.BatchNorm with dtype=None promotes low-precision inputs to
+        # the f32 param dtype; match it so the sequential-path bit-equality
+        # contract holds for bf16 towers too (ADVICE round 4)
+        return y.reshape(x.shape).astype(jnp.result_type(x, jnp.float32))
 
 
 def ambient_batch_norm(train: bool, name: Optional[str] = None):

@@ -427,6 +427,15 @@ def make_fluid_gan_step(models, txs, cfg: FluidTrainConfig, mesh=None):
                     # train_step_final.py:185-190); exactness pinned by
                     # tests/test_fast_d.py.
                     b = highres_pos.shape[1]
+                    if pred_seq.shape[2] != highres_pos.shape[2]:
+                        raise ValueError(
+                            "--fast_d stacks the fake and real clouds along "
+                            "the batch axis, which requires the padded "
+                            f"prediction bucket ({pred_seq.shape[2]} = "
+                            "lowres_size * upsample_ratio) to equal the "
+                            f"highres point count ({highres_pos.shape[2]}); "
+                            "configs with fps_ratio * upsample_ratio != 1 "
+                            "must use the sequential D path")
                     ones = jnp.ones(pred_valid.shape[1:], bool)
                     both_pos = [
                         jnp.concatenate([fake_pos[i], true_pos[i]])
