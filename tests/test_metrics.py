@@ -155,6 +155,27 @@ def test_auction_epsilon_scaling_converges(rng):
     assert cost <= d[ri, ci].sum() * 1.1
 
 
+def test_auction_repair_fills_multi_entry_tail(rng):
+    """Regression (round 5): with per-phase iters starved so the final
+    segmented phase leaves a LARGE unassigned tail, the Hungarian repair
+    must still return a full permutation for every batch item. The
+    original repair indexed ``ys[bi, None, free, :]`` — numpy moves the
+    advanced-index dims to the front, producing a [k, 1] cost matrix that
+    repaired exactly ONE bidder (observed as ~6 leftover duplicates per
+    item at the 8 x 79,872 reference harness size)."""
+    b, n = 2, 1024
+    x = rng.standard_normal((b, n, 3)).astype(np.float32)
+    y = rng.standard_normal((b, n, 3)).astype(np.float32)
+    # iters=3 forces the eager segmented final phase AND a big tail
+    a = np.asarray(auction_assignment(jnp.asarray(x), jnp.asarray(y),
+                                      eps=0.01, iters=3, phases=3,
+                                      final_iters=9))
+    for i in range(b):
+        assert (a[i] >= 0).all(), f"item {i}: {np.sum(a[i] < 0)} unassigned"
+        assert len(np.unique(a[i])) == n, (
+            f"item {i}: {n - len(np.unique(a[i]))} duplicate assignments")
+
+
 def test_nn1_large_cloud_kernel_matches_oracle(rng):
     """Candidate-block streaming NN kernel (interpret mode here; the TPU
     path serves Chamfer beyond the fused kNN kernel's ~24k-candidate VMEM

@@ -109,7 +109,7 @@ def chamfer(
 _THETA = 6.0
 
 
-def _auction_phase(x, y, price, eps, iters, obj_chunk=2048):
+def _auction_phase(x, y, price, eps, iters, obj_chunk=2048, assign0=None):
     """One eps-phase of the Jacobi auction, scatter- and sort-free.
 
     TPU design notes: a previous formulation used ``lax.top_k(value, 2)``
@@ -197,7 +197,9 @@ def _auction_phase(x, y, price, eps, iters, obj_chunk=2048):
         return it + 1, price, owner, assign
 
     owner0 = jnp.full((b, n), -1, dtype=jnp.int32)
-    assign0 = jnp.full((b, n), -1, dtype=jnp.int32)
+    if assign0 is None:
+        # phase start: re-auction everything under the new eps
+        assign0 = jnp.full((b, n), -1, dtype=jnp.int32)
     _, price, _, assign = jax.lax.while_loop(
         cond, body, (jnp.int32(0), price, owner0, assign0)
     )
@@ -283,8 +285,31 @@ def auction_assignment(
         eps_schedule = [eps * ratio ** (p / max(nph - 1, 1))
                         for p in range(nph - 1, -1, -1)]
     for i, eps_p in enumerate(eps_schedule):
-        cap = final_iters if i == len(eps_schedule) - 1 else iters
-        price, assign = _auction_phase(x, y, price, eps_p, cap)
+        if i < len(eps_schedule) - 1:
+            price, assign = _auction_phase(x, y, price, eps_p, iters)
+            continue
+        # Final (target-eps) phase: segment the round budget across
+        # dispatches. One while_loop program covering ``final_iters``
+        # rounds at eval scale (n ~ 8e4, each round an MXU regeneration of
+        # all n^2 cost rows) runs for minutes on-device and crashes the
+        # tunneled TPU worker (observed at 8 x 79,872, phases=4 — round 5).
+        # Prices and the partial bijection carry across segments via
+        # ``assign0``, so this is the identical computation split at
+        # host-visible boundaries with an early exit between segments.
+        # Under jit (traced values, no host sync possible) fall back to
+        # the single-dispatch form.
+        if isinstance(x, jax.core.Tracer):  # jitted caller: one dispatch
+            price, assign = _auction_phase(x, y, price, eps_p, final_iters)
+            continue
+        remaining = int(final_iters)
+        assign = None  # first segment re-auctions under the final eps
+        while remaining > 0:
+            seg = min(int(iters), remaining)
+            price, assign = _auction_phase(
+                x, y, price, eps_p, seg, assign0=assign)
+            remaining -= seg
+            if not bool(jnp.any(assign < 0)):
+                break
     if phases > 1:
         repaired = _repair_assignment_tail(x, y, assign)
         if repaired is not None:
@@ -320,15 +345,31 @@ def _repair_assignment_tail(x, y, assign):
         return None
     b, n = a.shape
     for bi in range(b):
-        miss = np.where(a[bi] < 0)[0]
+        ab = a[bi]
+        # Defensive: the auction maintains a partial bijection, but if a
+        # caller hands in duplicated claims, demote every claimant after
+        # the first to unassigned so the Hungarian tail sees a clean
+        # miss/free split and the full-permutation contract still holds.
+        pos = np.where(ab >= 0)[0]
+        _, first = np.unique(ab[pos], return_index=True)
+        if first.size != pos.size:
+            dup = np.ones(pos.size, dtype=bool)
+            dup[first] = False
+            ab[pos[dup]] = -1
+        miss = np.where(ab < 0)[0]
         if miss.size == 0:
             continue
-        free = np.setdiff1d(np.arange(n), a[bi][a[bi] >= 0],
+        free = np.setdiff1d(np.arange(n), ab[ab >= 0],
                             assume_unique=False)
-        d = xs[bi, miss, None, :] - ys[bi, None, free, :]
+        # NOTE indexing: ``ys[bi, None, free, :]`` is WRONG here — numpy
+        # moves the broadcast advanced-index dims to the front when they
+        # are separated by None, yielding [k, 1, 3] and a [k, 1] cost
+        # matrix that repairs exactly one bidder (observed at 8 x 79,872:
+        # ~6 leftovers per item — round 5). Index in two steps instead.
+        d = xs[bi, miss][:, None, :] - ys[bi, free][None, :, :]
         cost = np.einsum("ijk,ijk->ij", d, d)
         r, c = linear_sum_assignment(cost)
-        a[bi, miss[r]] = free[c]
+        ab[miss[r]] = free[c]
     return jnp.asarray(a, dtype=jnp.int32)
 
 
