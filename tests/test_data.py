@@ -168,3 +168,45 @@ def test_pad_with_appropriate_size():
     assert padded.shape == (2048, 3)
     assert valid.sum() == 1500
     assert np.all(padded[1500:] == 999.0)
+
+
+def test_synthetic_action_signal_survives_test_centering(tmp_path):
+    """Regression (round 5): the MSR test protocol centers every test
+    frame on its own mean (data/msr.py:105-108, reference
+    msr_dataset.py:115-120), erasing rigid translation — so synthetic
+    classes must differ NON-rigidly or the transfer eval measures chance.
+    Pin that a covariance-trajectory nearest-centroid probe separates
+    classes on per-frame-centered TEST clips."""
+    root = make_synthetic_action_dataset(
+        str(tmp_path / "msr"), num_videos=18, frames=8, points=1200,
+        num_classes=3, seed=0)
+    iu = np.triu_indices(3)
+
+    def feats(ds):
+        xs, ys = [], []
+        for i in range(len(ds)):
+            item = ds[i]
+            pos = np.asarray(item["highres_pos"])
+            covs = np.stack([np.cov((pos[f] - pos[f].mean(0)).T)[iu]
+                             for f in range(pos.shape[0])])
+            xs.append(np.concatenate(
+                [covs[0], covs[1] - covs[0], covs[2] - covs[1]]))
+            ys.append(int(item["label"]))
+        return np.stack(xs), np.array(ys)
+
+    tr = MSRAction3DDataset(root, frames_per_clip=3, num_points=512,
+                            return_lowres=False, seed=0)
+    te = MSRAction3DDataset(root, frames_per_clip=3, num_points=512,
+                            train=False, return_lowres=False, seed=0)
+    xtr, ytr = feats(tr)
+    xte, yte = feats(te)
+    # every test frame is per-frame centered (the rigid signal is gone)
+    assert abs(np.asarray(te[0]["highres_pos"][2]).mean(0)).max() < 1e-4
+    mu, sd = xtr.mean(0), xtr.std(0) + 1e-9
+    classes = np.unique(ytr)
+    ztr, zte = (xtr - mu) / sd, (xte - mu) / sd
+    cents = np.stack([ztr[ytr == c].mean(0) for c in classes])
+    pred = classes[np.argmin(
+        ((zte[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)]
+    acc = float((pred == yte).mean())
+    assert acc > 0.55, f"shape-dynamics probe at {acc} (chance 0.33)"

@@ -107,13 +107,24 @@ def make_synthetic_action_dataset(
     frames in depth-camera units (reference train_action/msr_dataset.py
     loads exactly this layout; subjects <= 5 are train, > 5 test).
 
-    Classes carry DISTINCT motion signatures (sway axis/frequency/
-    amplitude and drift speed are functions of the label; the per-video
-    random phase and subject jitter are not) so the discriminator-feature
+    Classes carry DISTINCT motion signatures so the discriminator-feature
     transfer eval (cli/eval_tempo_feat.py, reference eval_tempo_feat.py)
     measures genuine temporal-feature quality rather than chance: the
     spatial content of every class is the same blob, only the dynamics
-    separate them."""
+    separate them.
+
+    The class dynamics MUST be non-rigid: the MSR test protocol centers
+    every test frame on its own mean (reference msr_dataset.py:115-120),
+    which removes ALL rigid translation from test clips — a class signal
+    carried only by sway/drift (rounds 1-4) is structurally invisible to
+    any classifier at test time (measured: the centroid-motion probe and
+    the trained transfer arm both sat at chance). Classes therefore
+    differ in per-point deformation — anisotropic breathing (axis,
+    frequency and amplitude are functions of the label) and a
+    class-rate rotation about a class axis — which survives per-frame
+    centering, plus the old label-colored rigid sway/drift (train-time
+    signal only). Per-video random phase and per-point noise are not
+    label-dependent."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     for v in range(num_videos):
@@ -130,12 +141,27 @@ def make_synthetic_action_dataset(
         amp = 22.0 + 9.0 * (label % 4)
         drift = 2.0 + 2.5 * ((label // 3) % 3)
         phase = rng.uniform(0, 2 * np.pi)
+        # non-rigid, centering-invariant class signature
+        b_axis = (label + 1) % 3                 # breathing axis
+        b_freq = 0.25 + 0.17 * ((label * 2) % 5)
+        b_amp = 0.22 + 0.08 * (label % 3)        # relative stretch
+        r_axis = (label * 2) % 3                 # rotation axis
+        r_rate = (0.05 + 0.04 * (label % 4)) * (1 if label % 2 else -1)
+        b_phase = rng.uniform(0, 2 * np.pi)
         clip = []
         for t in range(frames):
+            stretch = np.ones(3, np.float64)
+            stretch[b_axis] += b_amp * np.sin(b_freq * t + b_phase)
+            th = r_rate * t
+            i, j = (r_axis + 1) % 3, (r_axis + 2) % 3
+            rot = np.eye(3)
+            rot[i, i] = rot[j, j] = np.cos(th)
+            rot[i, j], rot[j, i] = -np.sin(th), np.sin(th)
+            deformed = (body * stretch) @ rot.T
             sway = np.zeros(3, np.float32)
             sway[axis] = amp * np.sin(freq * t + phase)
             sway[1] += drift * t
-            frame = body + sway + rng.standard_normal((points, 3)) * 2
+            frame = deformed + sway + rng.standard_normal((points, 3)) * 2
             frame = frame + np.array([0, 0, 800], np.float32)
             clip.append(frame.astype(np.float64))
         arr = np.empty(frames, dtype=object)
