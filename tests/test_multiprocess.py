@@ -32,9 +32,12 @@ from tpugan_tpu.parallel.mesh import (
     initialize_distributed, make_mesh, host_local_batch_to_global,
 )
 
-initialize_distributed(
-    coordinator_address=coord, num_processes=2, process_id=proc_id,
-)
+try:
+    initialize_distributed(
+        coordinator_address=coord, num_processes=2, process_id=proc_id,
+    )
+except Exception as e:  # surface the real failure in the test output
+    raise SystemExit(f"distributed init failed: {type(e).__name__}: {e}")
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 4, jax.devices()
 

@@ -35,8 +35,14 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.float32(1e10)
+# np scalar, NOT jnp: a module-scope jnp constant would initialize the XLA
+# backend at import time, which breaks multi-host users — jax.distributed.
+# initialize() must run before the first backend touch, and importing the
+# package is the first thing any trainer does
+# (tests/test_multiprocess.py pins this).
+BIG = np.float32(1e10)
 
 # Query-chunk size for memory-bounded neighbor searches. 2048 query rows
 # against 16k candidates is a 128 MB f32 tile per batch element at most.

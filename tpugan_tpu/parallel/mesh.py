@@ -27,11 +27,19 @@ DATA_AXIS = "data"
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Initialize multi-host JAX (no-op when single-process)."""
+    """Initialize multi-host JAX (no-op when single-process).
+
+    With explicit cluster kwargs (coordinator_address/num_processes/...)
+    a failure RAISES: silently proceeding single-process after the caller
+    asked for a cluster hid a real import-order bug for a whole round
+    (an import-time jnp constant initialized the XLA backend before this
+    call — see ops/neighbors.py BIG and tests/test_multiprocess.py)."""
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        if kwargs:
+            raise
+        # auto-detection outside a cluster: legitimate single-process run
 
 
 def make_mesh(
