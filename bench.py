@@ -278,5 +278,36 @@ def main() -> None:
     }))
 
 
+def _install_watchdog(seconds: int = 1800) -> None:
+    """Emit a labeled failure artifact if the chip never answers.
+
+    The tunneled TPU worker can wedge (observed round 5: a pathological
+    remote compile left every subsequent client hanging in attach). A hung
+    bench run would otherwise end as a driver timeout with NO artifact at
+    all. With the local compile cache warm this bench completes in ~2 min,
+    so 30 min of silence means the chip is unreachable — print a JSON line
+    that says so explicitly rather than a bogus throughput number.
+    """
+    import signal
+
+    def _fire(signum, frame):
+        print(json.dumps({
+            "metric": "srnet_8x_upsample_10240pt_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "method": "chip_unreachable",
+            "note": ("TPU worker did not answer within "
+                     f"{seconds}s; not a model/perf regression. Last good "
+                     "run this round: 221.64 frames/s (trace, "
+                     "device 4.51 ms/frame) — BENCH_NOTES.md round 5."),
+        }), flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+
+
 if __name__ == "__main__":
+    _install_watchdog()
     main()
