@@ -116,3 +116,30 @@ def test_rollout_sequence_sharded_end_to_end(rng):
     for g, r_ in zip(got, ref):
         assert g.shape == r_.shape
         np.testing.assert_allclose(g, r_, rtol=0, atol=1e-5)
+
+
+def test_rollout_sequence_sharded_pipelining_backpressure(rng):
+    """The async D2H pipeline (copy_to_host_async + bounded pending queue)
+    must be output-identical to the serial dispatch-fetch loop at every
+    queue bound: frame ordering, mask-ring carry between frames, and drain
+    accounting cannot depend on how many fetches are in flight."""
+    mesh = make_mesh()
+    n, t = 512, 7  # t > max_pending so the bound actually engages mid-run
+    model = _model()
+    pos_seq = np.stack([_cloud(rng, n)[0] for _ in range(t)])
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.asarray(pos_seq[:1]),
+                           jnp.asarray(pos_seq[:1]), False)
+
+    def run(max_pending):
+        return rollout_sequence_sharded(
+            model, variables, pos_seq, None, mesh=mesh, use_vel=False,
+            history=5, max_pending=max_pending)
+
+    serial = run(0)
+    assert len(serial) == t
+    for bound in (1, 4):
+        pipelined = run(bound)
+        assert len(pipelined) == t
+        for g, r_ in zip(pipelined, serial):
+            np.testing.assert_array_equal(g, r_)

@@ -126,6 +126,7 @@ def rollout_sequence_sharded(
     use_vel: bool = False,
     history: int = 25,
     axis_name: str = DATA_AXIS,
+    max_pending: int = 4,
 ) -> List[np.ndarray]:
     """Point-sharded rollout over a uniform-N frame sequence.
 
@@ -134,6 +135,12 @@ def rollout_sequence_sharded(
     one sharded step; the mask ring stays sharded on device between frames.
     Returns valid points per frame, world space, like
     ``eval.rollout.rollout_sequence_device``.
+
+    ``max_pending`` bounds the async D2H queue: frame f+1..f+max_pending may
+    be dispatched before frame f's outputs are materialized on the host, so
+    transfers overlap compute; 0 forces a serial dispatch-fetch-dispatch
+    loop (the pipelined and serial paths are output-identical —
+    tests/test_sharded_serving.py).
     """
     from tpugan_tpu.eval.rollout import ALIGN, _MAX_GRAPH_K
     from tpugan_tpu.parallel.mesh import make_mesh
@@ -192,6 +199,6 @@ def rollout_sequence_sharded(
             except AttributeError:
                 pass
         pending.append((padded, valid))
-        drain(4)
+        drain(max_pending)
     drain(0)
     return outputs
